@@ -1,0 +1,113 @@
+"""Property-based cross-validation — the oracle suite.
+
+Mirrors the reference's
+``tests/proptest_automaton_distance_cross_validation.rs`` (automaton results
+must agree exactly with brute-force DP distance: no false positives, no
+false negatives, distances agree) and
+``tests/universal_vs_parameterized.rs`` (scalar automaton vs batch kernel
+agreement), plus Unicode correctness per ``tests/test_utf8_char_level.rs``.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from liblevenshtein_rust_spark.kernel.automaton import automaton_distance
+from liblevenshtein_rust_spark.kernel.batch import batch_distance
+from liblevenshtein_rust_spark.kernel.distances import (
+    VARIANTS,
+    distance,
+    prefix_distance,
+    substring_distance,
+)
+
+ALPHABETS = ["ab", "abcd", "abcdefghijklmnop"]
+
+
+def _rand_word(rng, alpha, lo=0, hi=9):
+    return "".join(rng.choice(alpha) for _ in range(rng.randint(lo, hi)))
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+@pytest.mark.parametrize("alpha", ALPHABETS)
+def test_scalar_automaton_matches_dp(variant, alpha):
+    rng = random.Random(42)
+    for _ in range(1200):
+        q, c = _rand_word(rng, alpha), _rand_word(rng, alpha)
+        n = rng.randint(0, 3)
+        dp = distance(q, c, variant)
+        expected = dp if dp <= n else None
+        assert automaton_distance(q, c, n, variant) == expected, (q, c, n)
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+@pytest.mark.parametrize("n", [0, 1, 2, 3])
+def test_batch_kernel_matches_dp(variant, n):
+    rng = random.Random(1234 + n)
+    qs = [_rand_word(rng, "abcde") for _ in range(1500)]
+    ts = [_rand_word(rng, "abcde") for _ in range(1500)]
+    got = batch_distance(qs, ts, n, variant)
+    exp = np.array(
+        [(d if (d := distance(q, t, variant)) <= n else -1) for q, t in zip(qs, ts)],
+        dtype=np.int32,
+    )
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_batch_prefix_and_substring_modes_match_dp(variant):
+    rng = random.Random(7)
+    qs = [_rand_word(rng, "abc", 0, 5) for _ in range(800)]
+    ts = [_rand_word(rng, "abc", 0, 9) for _ in range(800)]
+    for n in (0, 1, 2):
+        got = batch_distance(qs, ts, n, variant, prefix_mode=True)
+        exp = np.array(
+            [
+                (d if (d := prefix_distance(q, t, variant)) <= n else -1)
+                for q, t in zip(qs, ts)
+            ],
+            dtype=np.int32,
+        )
+        np.testing.assert_array_equal(got, exp)
+        got = batch_distance(qs, ts, n, variant, substring_mode=True)
+        exp = np.array(
+            [
+                (d if (d := substring_distance(q, t, variant)) <= n else -1)
+                for q, t in zip(qs, ts)
+            ],
+            dtype=np.int32,
+        )
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_unicode_codepoint_level():
+    """Char-level distances for diacritics, CJK, emoji
+    (reference tests/test_utf8_char_level.rs)."""
+    cases = [
+        ("café", "cafe", 1),
+        ("über", "uber", 1),
+        ("日本語", "日本", 1),
+        ("héllo", "hello", 1),
+        ("🎉party", "party", 1),
+        ("naïve", "naive", 1),
+    ]
+    for a, b, d in cases:
+        assert distance(a, b, "standard") == d
+        assert automaton_distance(a, b, 2, "standard") == d
+        assert int(batch_distance([a], [b], 2, "standard")[0]) == d
+
+
+def test_typo_families_within_bound():
+    """Every single-edit family lands at distance exactly 1 (TypoGenerator
+    semantics, reference src/corpus/generator.rs:84-123)."""
+    rng = random.Random(5)
+    base = [_rand_word(rng, "abcdefghij", 3, 10) for _ in range(200)]
+    qs, ts, variants = [], [], []
+    for w in base:
+        i = rng.randrange(len(w))
+        qs += [w, w, w]
+        ts += [w[:i] + w[i + 1 :], w[:i] + "z" + w[i:], w[:i] + "z" + w[i + 1 :]]
+    got = batch_distance(qs, ts, 1, "standard")
+    assert (got >= 0).all()
+    assert (got <= 1).all()
