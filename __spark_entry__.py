@@ -14,6 +14,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from liblevenshtein_rust_spark.functions.phonetic import (
+    phonetic_rules_sql as _phonetic_rules_sql,
+)
 from liblevenshtein_rust_spark.kernel.distances import STANDARD, TRANSPOSITION
 from liblevenshtein_rust_spark.operators import matching
 from liblevenshtein_rust_spark.sources import tables
@@ -160,6 +163,274 @@ def q_blocking_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# dedup / similarity / text-analysis queries (training-data-pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ copies with the first token dropped — deterministic
+    planted near-duplicates so the near-dup operators have non-trivial
+    output; the same derivation is reproduced in the oracle SQL."""
+    docs = tables.documents(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return docs.unionByName(planted)
+
+
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dedup
+
+    docs = tables.documents(spark, sf_dir)
+    out = dedup.exact_duplicates(docs)
+    return out.select(
+        "text_hash",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    out = dedup.minhash_lsh_pairs(corpus, threshold=0.5)
+    return out.select(
+        F.col("left_id").cast("bigint").alias("left_id"),
+        F.col("right_id").cast("bigint").alias("right_id"),
+        "jaccard",
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    out = dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+    return out.select(
+        F.col("left_id").cast("bigint").alias("left_id"),
+        F.col("right_id").cast("bigint").alias("right_id"),
+        "jaccard",
+    )
+
+
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dedup
+
+    docs = tables.documents(spark, sf_dir)
+    return dedup.simhash_fingerprints(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("simhash").cast("bigint").alias("simhash"),
+    )
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    out = dedup.simhash_near_pairs(corpus, max_hamming=3)
+    return out.select(
+        F.col("left_id").cast("bigint").alias("left_id"),
+        F.col("right_id").cast("bigint").alias("right_id"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dedup
+
+    emb = tables.embeddings(spark, sf_dir)
+    out = dedup.embedding_near_pairs(emb, threshold=0.35)
+    return out.select(
+        F.col("left_id").cast("bigint").alias("left_id"),
+        F.col("right_id").cast("bigint").alias("right_id"),
+        "cos",
+    )
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import similarity
+
+    emb = tables.embeddings(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(probes, emb, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate (IVF) — no SQL oracle by design; driver records
+    rows-only.  Recall vs brute force is asserted in tests."""
+    from liblevenshtein_rust_spark.operators import similarity
+
+    emb = tables.embeddings(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk(probes, emb, k=5, n_cells=16, nprobe=4)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dictionary-surface parity (prefix / filtered / value-set / union / substring)
+# ---------------------------------------------------------------------------
+
+SUBSTRING_PROBES = ["filtering", "sparkly", "querying", "tables", "zzz"]
+PHONETIC_PROBES = ["sparck", "skan", "phast", "kolumn", "merg", "kwery"]
+
+
+def _token_df_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, df) document-frequency mapped dictionary."""
+    return (
+        _doc_token_map(spark, sf_dir)
+        .distinct()
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    )
+
+
+def _source_token_counts(spark: SparkSession, sf_dir: str, source: str) -> DataFrame:
+    docs = tables.documents(spark, sf_dir).where(F.col("source") == source)
+    toks = docs.select(
+        F.explode(F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")).alias("term")
+    ).where(F.col("term") != "")
+    return toks.groupBy("term").agg(F.count("*").cast("bigint").alias("value"))
+
+
+def q_prefix_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dictionary_ops
+
+    return dictionary_ops.prefix_iterate(_doc_tokens(spark, sf_dir), "s")
+
+
+def q_query_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dictionary_ops
+
+    out = dictionary_ops.query_filtered(
+        _probes_df(spark), _token_df_counts(spark, sf_dir), 1, F.col("df") >= 5
+    )
+    return out.select(
+        "query", "term", F.col("distance").cast("int").alias("distance"), "df"
+    )
+
+
+def q_query_by_value_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dictionary_ops
+
+    values = spark.createDataFrame([(i,) for i in range(10)], "value bigint")
+    mapped = _doc_token_map(spark, sf_dir).select(
+        "term", F.col("doc_id").cast("bigint").alias("value")
+    ).distinct()
+    out = dictionary_ops.query_by_value_set(_probes_df(spark), mapped, 1, values)
+    return out.select(
+        "query", "term", F.col("distance").cast("int").alias("distance"),
+        F.col("value").cast("bigint").alias("value"),
+    )
+
+
+def q_union_with_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dictionary_ops
+
+    d1 = _source_token_counts(spark, sf_dir, "src0")
+    d2 = _source_token_counts(spark, sf_dir, "src1")
+    out = dictionary_ops.union_with(d1, d2, merge="sum")
+    return out.select("term", F.col("value").cast("bigint").alias("value"))
+
+
+def q_union_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dictionary_ops
+
+    d1 = _source_token_counts(spark, sf_dir, "src0")
+    d2 = _source_token_counts(spark, sf_dir, "src1")
+    out = dictionary_ops.union_replace(d1, d2)
+    return out.select("term", F.col("value").cast("bigint").alias("value"))
+
+
+def q_substring_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dictionary_ops
+
+    out = dictionary_ops.substring_match_positions(
+        tables.documents(spark, sf_dir), "spark"
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("pos").cast("int").alias("pos"),
+    )
+
+
+def q_fuzzy_substring_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import dictionary_ops
+
+    out = dictionary_ops.fuzzy_substring_query(
+        _probes_df(spark, SUBSTRING_PROBES), _doc_tokens(spark, sf_dir), 1
+    )
+    return out.select(
+        "query", "term", F.col("distance").cast("int").alias("distance")
+    )
+
+
+def q_phonetic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.functions.phonetic import phonetic_normalize
+
+    probes = _probes_df(spark, PHONETIC_PROBES).withColumn(
+        "pkey", phonetic_normalize(F.col("query"))
+    )
+    terms = _doc_tokens(spark, sf_dir).withColumn(
+        "pkey", phonetic_normalize(F.col("term"))
+    )
+    return F.broadcast(probes).join(terms, "pkey").select("query", "term")
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import text
+
+    return text.token_stats(tables.documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "ws_tokens", "n_chars"
+    )
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import text
+
+    return text.quality_features(tables.documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "alpha_ratio",
+        "mean_word_len",
+        "stopword_hits",
+        "quality_score",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import text
+
+    return text.lang_id(tables.documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang_pred", "marker_hits"
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from liblevenshtein_rust_spark.operators import text
+
+    return text.fingerprint(tables.documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "fingerprint"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_query_d2_standard": q_fuzzy_query_d2_standard,
     "fuzzy_query_topk": q_fuzzy_query_topk,
@@ -168,6 +439,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_contains": q_exact_contains,
     "fuzzy_multimap": q_fuzzy_multimap,
     "blocking_key_stats": q_blocking_key_stats,
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "token_stats": q_token_stats,
+    "quality_features": q_quality_features,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "prefix_iterate": q_prefix_iterate,
+    "query_filtered": q_query_filtered,
+    "query_by_value_set": q_query_by_value_set,
+    "union_with_counts": q_union_with_counts,
+    "union_replace": q_union_replace,
+    "substring_positions": q_substring_positions,
+    "fuzzy_substring_d1": q_fuzzy_substring_d1,
+    "phonetic_join": q_phonetic_join,
 }
 
 
@@ -178,6 +469,96 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
+
+
+# DuckDB CTEs mirroring the dedup operators' text canonicalization exactly
+# (liblevenshtein_rust_spark/operators/dedup.py: normalize_text/word_shingles)
+_CORPUS_CTE = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1) FROM documents
+)
+"""
+
+_SHINGLES_CTE = """
+shing AS (
+    SELECT doc_id, list_sort(list_distinct(
+        CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+             ELSE [array_to_string(tk[i:i+2], ' ')
+                   FOR i IN generate_series(1, len(tk) - 2)] END
+    )) AS sh
+    FROM (
+        SELECT doc_id,
+               string_split(regexp_replace(trim(regexp_replace(lower(text),
+                   '[^a-z0-9 ]+', ' ', 'g')), '\\s+', ' ', 'g'), ' ') AS tk
+        FROM {src}
+    )
+)
+"""
+
+_JACCARD_EXPR = (
+    "round(len(list_filter(lsh, x -> list_contains(rsh, x))) / "
+    "(len(lsh) + len(rsh) - len(list_filter(lsh, x -> list_contains(rsh, x)))), 6)"
+)
+
+_SIMHASH_CTE = """
+stoks AS (
+    SELECT doc_id, unnest(list_filter(
+        regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g')), '\\s+'),
+        t -> length(t) > 0)) AS tok
+    FROM {src}
+),
+sbits AS (
+    SELECT doc_id, b,
+           sum(2 * (((strpos('0123456789abcdef', substr(md5(tok), b // 4 + 1, 1)) - 1)
+                     >> (3 - b % 4)) & 1) - 1) AS s
+    FROM stoks, unnest(generate_series(0, 62)) g(b)
+    GROUP BY doc_id, b
+),
+sh64 AS (
+    SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+    FROM sbits GROUP BY doc_id
+),
+simh AS (
+    SELECT d.doc_id, coalesce(sh64.simhash, 0)::BIGINT AS simhash
+    FROM (SELECT DISTINCT doc_id FROM {src}) d LEFT JOIN sh64 USING (doc_id)
+)
+"""
+
+_PLAIN_TOKS_CTE = """
+toks AS (
+    SELECT DISTINCT t AS term FROM (
+        SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t
+        FROM documents
+    ) WHERE t <> ''
+)
+"""
+
+_TOKMAP_CTE = """
+tokmap AS (
+    SELECT DISTINCT doc_id, t AS term FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t
+        FROM documents
+    ) WHERE t <> ''
+)
+"""
+
+_SRC_COUNTS_CTE = """
+{name} AS (
+    SELECT t AS term, count(*)::BIGINT AS value FROM (
+        SELECT unnest(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS t
+        FROM documents WHERE source = '{src}'
+    ) WHERE t <> '' GROUP BY t
+)
+"""
+
+_QUALITY_STOPWORDS_SQL = (
+    "['the','of','and','a','to','in','is','it','that','for','on','with','as',"
+    "'at','by','an','be','this','from','or','are','was','but','not','you',"
+    "'all','we','he','she','they','i']"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -256,5 +637,216 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT key, count(DISTINCT term)::BIGINT AS n_terms
             FROM keys GROUP BY key
+        """,
+        "exact_dedup_groups": """
+            SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'))) AS text_hash,
+                   count(*)::BIGINT AS n_docs,
+                   min(doc_id)::BIGINT AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "minhash_lsh_pairs": f"""
+            WITH {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            nonempty AS (SELECT * FROM shing WHERE len(sh) > 0),
+            sig AS (
+                SELECT doc_id, sh,
+                       [list_sort([md5(s || ':' || CAST(i AS VARCHAR)) FOR s IN sh])[1]
+                        FOR i IN generate_series(0, 15)] AS sig
+                FROM nonempty
+            ),
+            banded AS (
+                SELECT doc_id, b,
+                       md5(array_to_string(sig[4*b+1:4*b+4], '|')) AS bucket
+                FROM sig, unnest(generate_series(0, 3)) g(b)
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_id, c.doc_id AS right_id
+                FROM banded a JOIN banded c USING (b, bucket)
+                WHERE a.doc_id < c.doc_id
+            ),
+            paired AS (
+                SELECT cand.left_id, cand.right_id, s1.sh AS lsh, s2.sh AS rsh
+                FROM cand
+                JOIN nonempty s1 ON s1.doc_id = cand.left_id
+                JOIN nonempty s2 ON s2.doc_id = cand.right_id
+            )
+            SELECT left_id::BIGINT AS left_id, right_id::BIGINT AS right_id, jaccard
+            FROM (SELECT left_id, right_id, {_JACCARD_EXPR} AS jaccard FROM paired)
+            WHERE jaccard >= 0.5
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            nonempty AS (SELECT * FROM shing WHERE len(sh) > 0),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_id, c.doc_id AS right_id
+                FROM ex a JOIN ex c USING (g)
+                WHERE a.doc_id < c.doc_id
+            ),
+            paired AS (
+                SELECT cand.left_id, cand.right_id, s1.sh AS lsh, s2.sh AS rsh
+                FROM cand
+                JOIN nonempty s1 ON s1.doc_id = cand.left_id
+                JOIN nonempty s2 ON s2.doc_id = cand.right_id
+            )
+            SELECT left_id::BIGINT AS left_id, right_id::BIGINT AS right_id, jaccard
+            FROM (SELECT left_id, right_id, {_JACCARD_EXPR} AS jaccard FROM paired)
+            WHERE jaccard >= 0.5
+        """,
+        "simhash_fingerprints": f"""
+            WITH {_SIMHASH_CTE.format(src="documents")}
+            SELECT doc_id::BIGINT AS doc_id, simhash FROM simh
+        """,
+        "simhash_near_pairs": f"""
+            WITH {_CORPUS_CTE},
+            {_SIMHASH_CTE.format(src="corpus")}
+            SELECT a.doc_id::BIGINT AS left_id, c.doc_id::BIGINT AS right_id,
+                   bit_count(xor(a.simhash, c.simhash))::INT AS hamming
+            FROM simh a JOIN simh c ON a.doc_id < c.doc_id
+            WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id::BIGINT AS left_id, c.vec_id::BIGINT AS right_id,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+            FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.35
+        """,
+        "ann_topk_bruteforce": """
+            WITH probes AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+            ),
+            scored AS (
+                SELECT p.query_id, e.vec_id,
+                       round(list_cosine_similarity(p.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
+                FROM probes p, embeddings e
+            )
+            SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cos, rank::INT AS rank
+            FROM (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "token_stats": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   (CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::INT AS ws_tokens,
+                   length(text)::INT AS n_chars
+            FROM documents
+        """,
+        "quality_features": f"""
+            WITH feats AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                       length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                       len(list_distinct(list_filter(
+                           list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)),
+                           t -> list_contains({_QUALITY_STOPWORDS_SQL}, t)))) AS stop_hits
+                FROM documents
+            ),
+            derived AS (
+                SELECT doc_id, n_tokens,
+                       CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+                       CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END AS mean_word_len,
+                       stop_hits
+                FROM feats
+            )
+            SELECT doc_id::BIGINT AS doc_id, n_tokens::INT AS n_tokens,
+                   round(alpha_ratio, 6) AS alpha_ratio,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   stop_hits::INT AS stopword_hits,
+                   round(
+                       (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+                     + (CASE WHEN stop_hits >= 1 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+            FROM derived
+        """,
+        "lang_id": """
+            WITH h AS (
+                SELECT doc_id,
+                       len(list_filter(tl, t -> list_contains(['the','and','of','to','is','in','it','that','was','for'], t))) AS en_h,
+                       len(list_filter(tl, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t))) AS de_h,
+                       len(list_filter(tl, t -> list_contains(['le','la','les','et','est','dans','que','pour','une','des'], t))) AS fr_h,
+                       len(list_filter(tl, t -> list_contains(['el','la','los','y','es','en','que','para','una','del'], t))) AS es_h
+                FROM (SELECT doc_id,
+                             list_transform(regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)) AS tl
+                      FROM documents)
+            )
+            SELECT doc_id::BIGINT AS doc_id,
+                   CASE WHEN greatest(en_h, de_h, fr_h, es_h) = 0 THEN 'und'
+                        WHEN en_h = greatest(en_h, de_h, fr_h, es_h) THEN 'en'
+                        WHEN de_h = greatest(en_h, de_h, fr_h, es_h) THEN 'de'
+                        WHEN fr_h = greatest(en_h, de_h, fr_h, es_h) THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   greatest(en_h, de_h, fr_h, es_h)::INT AS marker_hits
+            FROM h
+        """,
+        "prefix_iterate": f"""
+            WITH {_PLAIN_TOKS_CTE}
+            SELECT term FROM toks WHERE term LIKE 's%'
+        """,
+        "query_filtered": f"""
+            WITH {_TOKMAP_CTE},
+            dfm AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokmap GROUP BY term),
+            probes AS (SELECT * FROM (VALUES {_PROBES_SQL_VALUES}) v(query))
+            SELECT p.query, d.term, levenshtein(p.query, d.term)::INT AS distance, d.df
+            FROM probes p, dfm d
+            WHERE d.df >= 5 AND levenshtein(p.query, d.term) <= 1
+        """,
+        "query_by_value_set": f"""
+            WITH {_TOKMAP_CTE},
+            probes AS (SELECT * FROM (VALUES {_PROBES_SQL_VALUES}) v(query))
+            SELECT p.query, tm.term, levenshtein(p.query, tm.term)::INT AS distance,
+                   tm.doc_id::BIGINT AS value
+            FROM probes p, tokmap tm
+            WHERE tm.doc_id BETWEEN 0 AND 9
+              AND levenshtein(p.query, tm.term) <= 1
+        """,
+        "union_with_counts": f"""
+            WITH {_SRC_COUNTS_CTE.format(name="s0", src="src0")},
+            {_SRC_COUNTS_CTE.format(name="s1", src="src1")}
+            SELECT term, sum(value)::BIGINT AS value
+            FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+            GROUP BY term
+        """,
+        "union_replace": f"""
+            WITH {_SRC_COUNTS_CTE.format(name="s0", src="src0")},
+            {_SRC_COUNTS_CTE.format(name="s1", src="src1")}
+            SELECT term, value FROM s0 WHERE term NOT IN (SELECT term FROM s1)
+            UNION ALL
+            SELECT term, value FROM s1
+        """,
+        "substring_positions": """
+            SELECT doc_id::BIGINT AS doc_id, i::INT AS pos
+            FROM documents, unnest(generate_series(1, greatest(length(text) - 4, 0))) g(i)
+            WHERE substr(text, i, 5) = 'spark'
+        """,
+        "fuzzy_substring_d1": f"""
+            WITH {_PLAIN_TOKS_CTE},
+            probes AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in SUBSTRING_PROBES)}) v(query))
+            SELECT query, term, distance FROM (
+                SELECT p.query, t.term,
+                       list_aggregate([levenshtein(substr(p.query, 1, k), t.term)
+                                       FOR k IN generate_series(0, length(p.query))], 'min')::INT AS distance
+                FROM probes p, toks t
+            ) WHERE distance <= 1
+        """,
+        "phonetic_join": f"""
+            WITH {_PLAIN_TOKS_CTE},
+            probes AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in PHONETIC_PROBES)}) v(query))
+            SELECT p.query, t.term FROM probes p, toks t
+            WHERE {_phonetic_rules_sql("p.query")} = {_phonetic_rules_sql("t.term")}
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   array_to_string(list_sort(list_distinct(
+                       CASE WHEN length(t) < 8 THEN [md5(t)]
+                            ELSE [md5(substr(t, i, 8)) FOR i IN generate_series(1, length(t) - 7)] END
+                   ))[1:4], '') AS fingerprint
+            FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents)
         """,
     }

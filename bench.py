@@ -1,0 +1,201 @@
+"""Benchmark harness — headline queries + ER throughput + scaling evidence.
+
+Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "er": {...}, "scaling": {...}}
+
+- ``queries``: per-query wall seconds for every ``__spark_entry__.queries()``
+  entry at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+  ``local[$SPARK_GRAFT_CPUS]``.
+- ``er``: end-to-end entity-resolution run over the deterministic synthetic
+  interleaved corpus — wall time, docs/sec, candidate-pairs-scored/sec
+  (the BASELINE.json throughput metric).
+- ``scaling``: the north rule's two-cluster-size criterion, evidenced in
+  sandbox by running the *same job on the same input* on an N-core and a
+  4N-core "cluster" (default 8 vs 32) and reporting throughput at both plus
+  efficiency = (T_N / T_4N) / 4.  Each measurement runs in a subprocess
+  whose CPU affinity is pinned to exactly that many cores
+  (``sched_setaffinity`` before the JVM forks, inherited by executor
+  threads and Python workers) — without pinning, a local[8] run on a
+  32-core box quietly uses up to 16 cores (8 JVM threads + 8 Python
+  workers) and the comparison measures nothing.  Two jobs are measured:
+  the compute-dominant pair-scoring stage (kernel-bound, shuffle-free —
+  the stage that dominates at 10^12 docs) and the full ER pipeline (which
+  at sandbox scale is partially driver-latency-bound in the CC fixpoint;
+  the per-stage split is recorded so the cluster-dominant stages are
+  visible).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_DOCS,
+SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_PAIRS", "12000000"))
+
+
+def _fresh_spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+        SparkSession.builder._options = {}
+    from liblevenshtein_rust_spark.session import get_spark
+
+    return get_spark(f"bench_local{cores}", cores=cores)
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    out: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_er(spark, n_docs: int, run_dir: str) -> dict:
+    """Full pipeline over the synthetic interleaved corpus; fresh run_dir."""
+    from liblevenshtein_rust_spark.pipeline import er
+    from liblevenshtein_rust_spark.sources import fixtures
+
+    cfg = er.ERConfig(max_df=max(10, n_docs // 150))
+    docs = fixtures.generate_docs(spark, n_docs, seed=42)
+    t0 = time.time()
+    er.run_pipeline(spark, docs, run_dir, cfg)
+    wall = time.time() - t0
+    rs = er.Runstate(spark, run_dir, er.asdict(cfg)).manifests()
+    pairs = rs["token_matches"]["metrics"].get("kernel_pairs", 0)
+    return {
+        "n_docs": n_docs,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "kernel_pairs": pairs,
+        "stage_wall_s": {s: m["wall_s"] for s, m in rs.items()},
+    }
+
+
+def _score_job(spark, n_pairs: int) -> tuple[float, int]:
+    """Kernel pair-scoring throughput job: deterministic string pairs via
+    spark.range (no I/O, no shuffle) -> vectorized distance -> count."""
+    from pyspark.sql import functions as F
+
+    from liblevenshtein_rust_spark.functions.udfs import edit_distance_udf
+
+    base = spark.range(0, n_pairs, 1, CPUS * 4)
+    # deterministic pseudo-words from the id: base-26 digits of two mixes
+    def word(col, salt):
+        h = F.conv(F.hex(F.xxhash64(col, F.lit(salt))), 16, 26)
+        return F.lower(F.translate(h, "0123456789abcdefghijklmnop",
+                                   "abcdefghijklmnopqrstuvwxyz"))
+
+    pairs = base.select(
+        word(F.col("id"), 1).alias("a"),
+        # second string: same word for half the rows (accept path), an
+        # unrelated word otherwise (reject path)
+        F.when(F.col("id") % 2 == 0, word(F.col("id"), 1))
+        .otherwise(word(F.col("id"), 2))
+        .alias("b"),
+    )
+    dist = edit_distance_udf(2, "transposition")
+    t0 = time.time()
+    n = pairs.select(dist(F.col("a"), F.col("b")).alias("d")).where(F.col("d") >= 0).count()
+    return time.time() - t0, n
+
+
+def scale_worker(cores: int) -> None:
+    """Subprocess entry: emulate a `cores`-core cluster by pinning affinity
+    BEFORE the JVM starts (inherited by executor threads + Python workers),
+    then run the two scaling jobs and print one JSON line."""
+    os.sched_setaffinity(0, set(range(cores)))
+    spark = _fresh_spark(cores)
+    globals()["CPUS"] = cores  # partition counts follow the cluster size
+    _score_job(spark, SCALE_PAIRS // 10)  # warm JIT/Arrow/python workers
+    t, _ = _score_job(spark, SCALE_PAIRS)
+    er = bench_er(spark, N_DOCS, tempfile.mkdtemp(prefix=f"er_scale{cores}_"))
+    print(json.dumps({"cores": cores, "score_wall_s": round(t, 3), "er_wall_s": er["wall_s"]}))
+
+
+def _run_scale(cores: int) -> dict:
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_SCALE_PAIRS=str(SCALE_PAIRS),
+               SPARK_GRAFT_BENCH_DOCS=str(N_DOCS))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
+        capture_output=True, text=True, env=env, timeout=1800, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    result: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1]}
+
+    spark = _fresh_spark(CPUS)
+    q = bench_queries(spark)
+    result["queries"] = q
+
+    tmp = tempfile.mkdtemp(prefix="bench_er_")
+    try:
+        er_res = bench_er(spark, N_DOCS, os.path.join(tmp, "run"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    result["er"] = er_res
+    spark.stop()
+
+    if DO_SCALING:
+        low = max(CPUS // 4, 1)
+        hi = _run_scale(CPUS)
+        lo = _run_scale(low)
+        ratio = CPUS / low
+        result["scaling"] = {
+            "cores_low": low,
+            "cores_high": CPUS,
+            "affinity_pinned": True,
+            "score_job": {
+                "pairs": SCALE_PAIRS,
+                "low_wall_s": lo["score_wall_s"],
+                "high_wall_s": hi["score_wall_s"],
+                "low_pairs_per_sec": round(SCALE_PAIRS / lo["score_wall_s"]),
+                "high_pairs_per_sec": round(SCALE_PAIRS / hi["score_wall_s"]),
+                "efficiency": round((lo["score_wall_s"] / hi["score_wall_s"]) / ratio, 3),
+            },
+            "er_pipeline": {
+                "low_wall_s": lo["er_wall_s"],
+                "high_wall_s": hi["er_wall_s"],
+                "efficiency": round((lo["er_wall_s"] / hi["er_wall_s"]) / ratio, 3),
+            },
+        }
+        result["er"]["pairs_per_sec"] = result["scaling"]["score_job"][
+            "high_pairs_per_sec"
+        ]
+
+    result["metric"] = "headline_total"
+    result["value"] = round(sum(q.values()) + er_res["wall_s"], 3)
+    result["unit"] = "sec"
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--scale-worker":
+        scale_worker(int(sys.argv[2]))
+    else:
+        main()

@@ -42,9 +42,11 @@ def edit_distance_udf(
 
     @F.pandas_udf(IntegerType())
     def _dist(query: pd.Series, term: pd.Series) -> pd.Series:
+        # pass the raw object arrays through — encode_strings consumes them
+        # with a single C-level np.asarray(dtype="U"), no .tolist() copy
         out = batch_distance(
-            query.tolist(),
-            term.tolist(),
+            query.to_numpy(),
+            term.to_numpy(),
             n,
             variant,
             prefix_mode=prefix_mode,

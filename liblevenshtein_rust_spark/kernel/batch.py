@@ -54,18 +54,27 @@ def encode_strings(strings, max_len: int | None = None):
     per Arrow batch instead of once per trie edge.
     """
     n_rows = len(strings)
-    lengths = np.fromiter(
-        (len(s) if s is not None else 0 for s in strings), dtype=np.int32, count=n_rows
+    if n_rows == 0:
+        return (
+            np.full((0, max(max_len or 1, 1)), _PAD, dtype=np.uint32),
+            np.zeros(0, dtype=np.int32),
+        )
+    # NumPy's native UCS-4 representation IS the codepoint matrix: a single
+    # C-level conversion, zero per-row Python.  NUL (0) is the native pad;
+    # remap to the sentinel in one vectorized pass (real tokens never
+    # contain NUL — and if one did, its length is still correct below).
+    arr = np.asarray(
+        strings if all(type(s) is str for s in strings)
+        else [s if isinstance(s, str) else "" for s in strings],
+        dtype="U",
     )
-    L = int(lengths.max()) if n_rows and lengths.size else 0
-    if max_len is not None:
-        L = max(L, max_len)
-    mat = np.full((n_rows, max(L, 1)), _PAD, dtype=np.uint32)
-    for r, s in enumerate(strings):
-        if s:
-            mat[r, : len(s)] = np.frombuffer(
-                s.encode("utf-32-le"), dtype=np.uint32
-            )
+    L = max(arr.dtype.itemsize // 4, 1)
+    if max_len is not None and max_len > L:
+        arr = arr.astype(f"U{max_len}")
+        L = max_len
+    mat = arr.view(np.uint32).reshape(n_rows, L).copy()
+    lengths = (mat != 0).astype(np.int32).sum(axis=1, dtype=np.int32)
+    mat[mat == 0] = _PAD
     return mat, lengths
 
 
@@ -112,22 +121,32 @@ def batch_distance(
             )
         )
 
-    def char_eq(qc: np.ndarray, tc: np.ndarray, valid: np.ndarray) -> np.ndarray:
-        eq = (qc == tc) & valid
+    def char_eq(qc: np.ndarray, tc: np.ndarray) -> np.ndarray:
+        """(batch,) query chars vs (batch, W) term-char block."""
+        eq = (tc == qc[:, None]) & (tc != _PAD) & (qc[:, None] != _PAD)
         if subs_codes is not None:
-            codes = (qc.astype(np.int64) << 21) | tc.astype(np.int64)
+            codes = (qc.astype(np.int64)[:, None] << 21) | tc.astype(np.int64)
             idx = np.searchsorted(subs_codes, codes)
             allowed = (idx < subs_codes.size) & (
                 subs_codes[np.clip(idx, 0, subs_codes.size - 1)] == codes
             )
-            eq |= allowed & valid
+            eq |= allowed & (tc != _PAD) & (qc[:, None] != _PAD)
         return eq
+
+    # Left-pad T so the per-row (batch, W) term-char block is a plain slice:
+    # row i covers term indices jc = i-1-n .. i-1+n; with pad P the slice is
+    # T_pad[:, i-1-n+P : i-1+n+1+P], always in range for i >= 0.
+    P = n + 2
+    T_pad = np.full((batch, T.shape[1] + P + W + 2), _PAD, dtype=np.uint32)
+    T_pad[:, P : P + T.shape[1]] = T
+
+    # absolute term column j per band cell k, row i:  j = i + (k - n)
+    k_off = np.arange(W, dtype=np.int32) - n  # (W,)
 
     # rows: prev (i-1), two_ago (i-2), curr (i); each (batch, W), capped at INF
     two_ago = np.full((batch, W), INF, dtype=np.int16)
     prev = np.full((batch, W), INF, dtype=np.int16)
-    # Row 0: D[0][j] = j for 0 <= j <= n  →  k = j + n - 0? row i=0 centered
-    # at 0: j = k - n, valid j in [0, n] → k in [n, 2n].
+    # Row 0: D[0][j] = j for 0 <= j <= n → k in [n, 2n]
     for k in range(n, W):
         prev[:, k] = k - n
 
@@ -148,52 +167,54 @@ def batch_distance(
     ones = np.int16(1)
 
     for i in range(1, max_q + 1):
-        curr = np.full((batch, W), INF, dtype=np.int16)
         qc = Q[:, i - 1] if i - 1 < Q.shape[1] else np.full(batch, _PAD)
-        qprev = Q[:, i - 2] if i >= 2 and i - 2 < Q.shape[1] else None
         row_active = qlen >= i
-        for k in range(W):
-            j = i + (k - n)  # absolute term column for this band cell
-            if j < 0:
-                continue
-            if j == 0:
-                # D[i][0] = i, only valid cell when k = n - i
-                curr[:, k] = np.where(row_active, np.int16(min(i, n + 1)), INF)
-                continue
-            # gather term chars b[j-1]; j varies per-cell but is scalar here
-            jc = j - 1
-            tc = T[:, jc] if jc < T.shape[1] else np.full(batch, _PAD)
-            cell_valid = row_active & (tlen >= j)
-            eq = char_eq(qc, tc, cell_valid)
-            cost = np.where(eq, np.int16(0), ones).astype(np.int16)
-            best = np.minimum(prev[:, k] + cost, INF)  # diag: D[i-1][j-1]
-            if k + 1 < W:
-                best = np.minimum(best, np.minimum(prev[:, k + 1] + ones, INF))
-            if k - 1 >= 0:
-                best = np.minimum(best, np.minimum(curr[:, k - 1] + ones, INF))
-            if variant == TRANSPOSITION and i >= 2 and j >= 2 and qprev is not None:
-                jb2 = j - 2
-                tb2 = T[:, jb2] if jb2 < T.shape[1] else np.full(batch, _PAD)
-                swap = (
-                    cell_valid
-                    & (qc == tb2)
-                    & (qprev == tc)
-                    & (qc != _PAD)
-                    & (tc != _PAD)
+        j_abs = i + k_off  # (W,) absolute term column per band cell
+        # cell validity: row active, 0 <= j <= tlen (j == 0 handled below)
+        cell_valid = row_active[:, None] & (j_abs[None, :] >= 1) & (
+            j_abs[None, :] <= tlen[:, None]
+        )
+        # term chars b[j-1] for the whole band row as one slice
+        tc = T_pad[:, i - 1 - n + P : i - 1 + n + 1 + P]
+        eq = char_eq(qc, tc)
+        cost = np.where(eq, np.int16(0), ones)
+        # diag D[i-1][j-1] (same k) and insert D[i-1][j] (k+1), both from prev
+        best = np.minimum(prev + cost, INF)
+        best[:, :-1] = np.minimum(best[:, :-1], np.minimum(prev[:, 1:] + ones, INF))
+        if variant == TRANSPOSITION and i >= 2:
+            qprev = Q[:, i - 2]
+            tprev = T_pad[:, i - 2 - n + P : i - 2 + n + 1 + P]  # b[j-2]
+            swap = (
+                (tprev == qc[:, None])
+                & (tc == qprev[:, None])
+                & (tc != _PAD)
+                & (tprev != _PAD)
+            )
+            # D[i-2][j-2]: two_ago at the same k
+            cand = np.minimum(two_ago + ones, INF)
+            best = np.where(swap, np.minimum(best, cand), best)
+        if variant == MERGE_AND_SPLIT:
+            if i >= 2:
+                # merge D[i-2][j-1] → two_ago at k+1
+                best[:, :-1] = np.minimum(
+                    best[:, :-1], np.minimum(two_ago[:, 1:] + ones, INF)
                 )
-                # D[i-2][j-2]: two_ago centered at i-2 → k' = j-2-(i-2)+n = k
-                cand = np.minimum(two_ago[:, k] + ones, INF)
-                best = np.where(swap, np.minimum(best, cand), best)
-            if variant == MERGE_AND_SPLIT:
-                if i >= 2 and k + 1 < W:
-                    # merge: D[i-2][j-1] → two_ago k' = j-1-(i-2)+n = k+1
-                    best = np.minimum(
-                        best, np.minimum(two_ago[:, k + 1] + ones, INF)
-                    )
-                if j >= 2 and k - 1 >= 0:
-                    # split: D[i-1][j-2] → prev k' = j-2-(i-1)+n = k-1
-                    best = np.minimum(best, np.minimum(prev[:, k - 1] + ones, INF))
-            curr[:, k] = np.where(cell_valid, best, INF)
+            # split D[i-1][j-2] → prev at k-1
+            best[:, 1:] = np.minimum(
+                best[:, 1:], np.minimum(prev[:, :-1] + ones, INF)
+            )
+        best = np.where(cell_valid, best, INF)
+        # j == 0 boundary: D[i][0] = i at k = n - i (a deletion-chain source)
+        if i <= n:
+            best[row_active, n - i] = np.int16(i)
+        # deletion D[i][j-1] → curr at k-1: prefix-min scan along k
+        run = best[:, 0].copy()
+        curr = np.empty_like(best)
+        curr[:, 0] = run
+        for k in range(1, W):
+            run = np.minimum(best[:, k], np.minimum(run + ones, INF))
+            curr[:, k] = run
+        curr = np.where(cell_valid | ((j_abs[None, :] == 0) & row_active[:, None]), curr, INF)
         two_ago, prev = prev, curr
         hit = qlen == i
         if hit.any():

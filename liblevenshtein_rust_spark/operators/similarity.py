@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns — brute-force + IVF scale path.
+
+The ordered/top-k contract mirrors the reference's ``query_ordered``
+(``/root/reference/src/transducer/ordered_query.rs:30-41``): results ranked
+by (similarity DESC, id ASC) with a deterministic tie-break, `LIMIT k`
+per probe — Spark's `Window.partitionBy(query).orderBy(...)` + row_number,
+which AQE executes as a partial top-k per partition before the shuffle.
+
+Scale path: IVF (inverted-file) — assign every vector to its nearest of C
+deterministic centroids, search only the probe's `nprobe` nearest cells.
+Centroid assignment is a broadcast join (C is tiny); the candidate set per
+probe shrinks by ~C/nprobe.  At 10^12 vectors the cell table is the
+partition key, so a probe touches nprobe partitions instead of all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import cosine
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    qid: str = "query_id",
+    qvec: str = "query_vec",
+    cid: str = "vec_id",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, vec_id, cos, rank).
+
+    One broadcast (queries are few) or shuffle join, then windowed top-k —
+    physical plan is partial-TopK per partition, tiny shuffle, final TopK.
+    """
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    scored = F.broadcast(q).join(c).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _deterministic_centroids(corpus: DataFrame, cid: str, cvec: str, n_cells: int) -> DataFrame:
+    """Pick C centroid vectors deterministically: the C corpus vectors with
+    the smallest md5(id) — a seedless, reproducible sample (k-means would
+    need iterations; for an ANN *index* any well-spread sample works)."""
+    w = Window.orderBy(F.md5(F.col(cid).cast("string")))
+    return (
+        corpus.select(F.col(cid), F.col(cvec))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= n_cells)
+        .select((F.col("_r") - 1).alias("cell"), F.col(cvec).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    qid: str = "query_id",
+    qvec: str = "query_vec",
+    cid: str = "vec_id",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: (query_id, vec_id, cos, rank).
+
+    1. broadcast-join corpus × centroids → nearest cell per vector
+       (the index build; at scale this is written partitioned by cell);
+    2. per query, pick its `nprobe` nearest cells;
+    3. score only vectors in those cells; windowed top-k.
+    Recall < 1 by construction (approximate); precision exact on scored set.
+    """
+    cents = _deterministic_centroids(corpus, cid, cvec, n_cells)
+
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("cdist").desc(), F.col("cell")
+    )
+    assigned = (
+        c.join(F.broadcast(cents))
+        .select("vec_id", "cv", "cell", cosine(F.col("cv"), F.col("centroid")).alias("cdist"))
+        .withColumn("_r", F.row_number().over(assign_w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "cv", "cell")
+    )
+
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").desc(), F.col("cell")
+    )
+    probe_cells = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("cdist"))
+        .withColumn("_r", F.row_number().over(probe_w))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+
+    scored = F.broadcast(probe_cells).join(assigned, "cell").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
