@@ -394,6 +394,48 @@ def q_phonetic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(probes).join(terms, "pkey").select("query", "term")
 
 
+# ---------------------------------------------------------------------------
+# incremental maintenance (DynamicDawg analog) + contextual completion
+# ---------------------------------------------------------------------------
+
+CONTEXT_TREE = [(1, None), (2, 1), (3, 1), (4, 2)]
+
+
+def q_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DynamicDawg insert/remove as table maintenance: delete b*-terms from
+    the src0 dictionary, then upsert the src1 dictionary."""
+    from liblevenshtein_rust_spark.operators import incremental
+
+    d = _source_token_counts(spark, sf_dir, "src0")
+    k = incremental.blocking_key_delta(d, n=1)
+    up = _source_token_counts(spark, sf_dir, "src1")
+    dele = d.where(F.col("term").startswith("b")).select("term")
+    nd, _ = incremental.incremental_update(d, k, upserts=up, deletes=dele, n=1)
+    return nd.select("term", F.col("value").cast("bigint").alias("value"))
+
+
+def q_contextual_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion from context 4 (sees {4,2,1}): prefix-fuzzy d<=1 over
+    finalized (short tokens) + drafts (long tokens), context assigned by
+    first-letter hash — deterministic and SQL-mirrorable."""
+    from liblevenshtein_rust_spark.operators import contextual
+
+    toks = _doc_tokens(spark, sf_dir)
+    ctx = (F.ascii(F.substring("term", 1, 1)) % 4 + 1).cast("int")
+    terms = toks.select("term", ctx.alias("context_id"))
+    finalized = terms.where(F.length("term") < 7)
+    drafts = terms.where(F.length("term") >= 7)
+    closure = contextual.ancestor_closure(spark, CONTEXT_TREE)
+    out = contextual.complete(
+        _probes_df(spark, PREFIX_PROBES), finalized, drafts, closure,
+        context_id=4, max_distance=1,
+    )
+    return out.select(
+        "query", "term", F.col("distance").cast("int").alias("distance"),
+        "is_draft", F.col("context_id").cast("int").alias("context_id"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liblevenshtein_rust_spark.operators import text
 
@@ -459,6 +501,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_positions": q_substring_positions,
     "fuzzy_substring_d1": q_fuzzy_substring_d1,
     "phonetic_join": q_phonetic_join,
+    "incremental_update": q_incremental_update,
+    "contextual_complete": q_contextual_complete,
 }
 
 
@@ -840,6 +884,32 @@ def oracle_sql() -> dict[str, str]:
             probes AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in PHONETIC_PROBES)}) v(query))
             SELECT p.query, t.term FROM probes p, toks t
             WHERE {_phonetic_rules_sql("p.query")} = {_phonetic_rules_sql("t.term")}
+        """,
+        "incremental_update": f"""
+            WITH {_SRC_COUNTS_CTE.format(name="s0", src="src0")},
+            {_SRC_COUNTS_CTE.format(name="s1", src="src1")},
+            after_del AS (SELECT * FROM s0 WHERE term NOT LIKE 'b%')
+            SELECT term, value FROM after_del WHERE term NOT IN (SELECT term FROM s1)
+            UNION ALL
+            SELECT term, value FROM s1
+        """,
+        "contextual_complete": f"""
+            WITH {_PLAIN_TOKS_CTE},
+            probes AS (SELECT * FROM (VALUES {_PREFIX_PROBES_SQL_VALUES}) v(query)),
+            terms AS (
+                SELECT term, ((ascii(substr(term, 1, 1)) % 4) + 1)::INT AS context_id,
+                       (length(term) >= 7) AS is_draft
+                FROM toks
+            ),
+            visible AS (SELECT * FROM terms WHERE context_id IN (1, 2, 4)),
+            scored AS (
+                SELECT p.query, t.term, t.is_draft, t.context_id,
+                       list_aggregate([levenshtein(p.query, substr(t.term, 1, k))
+                                       FOR k IN generate_series(0, length(t.term))], 'min')::INT AS distance
+                FROM probes p, visible t
+            )
+            SELECT query, term, distance, is_draft, context_id
+            FROM scored WHERE distance <= 1
         """,
         "doc_fingerprint": """
             SELECT doc_id::BIGINT AS doc_id,

@@ -1,0 +1,127 @@
+"""Multimodal span processing — media columns as opaque binary + metadata.
+
+The interleaved-document input (BASELINE.json input_hint) carries media
+spans `(kind='media', media_ref)` alongside text.  A training-data pipeline
+needs: extract media references, fetch/decode bytes, compute features,
+frame-sample — while preserving the span-sequence invariant.
+
+Container reality: no image/audio libraries are installed, so the *decode*
+step is stubbed (clearly marked), while everything Spark-side — schema,
+partitioning, mapInPandas batch shape, deterministic feature derivation —
+is real and tested.  Swapping `_decode_stub` for a PIL/ffmpeg call changes
+no plan shape.
+
+Scale notes:
+- media work is embarrassingly parallel per-ref: `mapInPandas` over a
+  repartitioned ref table, Arrow batches in/out, one Python worker per
+  core, no shuffle;
+- dedupe refs BEFORE decoding (`distinct` on media_ref): the same asset
+  referenced by many docs is decoded once (the MemoCache discipline again);
+- features come back as fixed-width float arrays → joinable with the
+  embedding similarity operators (`operators/similarity`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 16
+
+MEDIA_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+def extract_media_refs(docs: DataFrame) -> DataFrame:
+    """(doc_id, offset, media_ref) for media spans, order preserved."""
+    ex = docs.select("doc_id", F.explode("spans").alias("span"))
+    return ex.where(F.col("span.kind") == "media").select(
+        "doc_id",
+        F.col("span.offset").alias("offset"),
+        F.col("span.media_ref").alias("media_ref"),
+    )
+
+
+def _decode_stub(media_ref: str) -> bytes:
+    """STUB for the real byte fetch + decode (no media libs in container).
+
+    Deterministic fake: bytes derived from the ref via SHA-256 squeeze, so
+    tests are reproducible.  A real deployment replaces this with object
+    store fetch + PIL/soundfile decode; raise NotImplementedError for
+    unknown schemes to make the boundary explicit.
+    """
+    if not media_ref.startswith("m"):
+        raise NotImplementedError(f"unsupported media_ref scheme: {media_ref!r}")
+    import hashlib
+
+    h = hashlib.sha256(media_ref.encode()).digest()
+    return (h * 4)[:100]  # fixed 100-byte fake payload
+
+
+def _features_from_bytes(payload: bytes) -> np.ndarray:
+    """Deterministic FEATURE_DIM-float feature vector from raw bytes —
+    stands in for an image/audio embedding model.  Vectorized NumPy."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    pad = (-len(arr)) % FEATURE_DIM
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.float32)])
+    return arr.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
+
+
+def media_features(docs: DataFrame, partitions: int | None = None) -> DataFrame:
+    """(media_ref, n_bytes, feature: array<float>) — one row per distinct
+    media asset.  `mapInPandas` keeps the decode loop batch-wise."""
+    refs = extract_media_refs(docs).select("media_ref").distinct()
+    if partitions:
+        refs = refs.repartition(partitions)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                payload = _decode_stub(ref)
+                rows.append(
+                    (ref, len(payload), _features_from_bytes(payload).tolist())
+                )
+            yield pd.DataFrame(rows, columns=["media_ref", "n_bytes", "feature"])
+
+    return refs.mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
+def frame_sample(docs: DataFrame, every: int = 2) -> DataFrame:
+    """Frame-sampling analog over span sequences: keep every ``every``-th
+    media span per document (ordered by offset) — the plan shape of video
+    frame sampling (windowed ordinal filter), no Python."""
+    from pyspark.sql import Window
+
+    refs = extract_media_refs(docs)
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return (
+        refs.withColumn("ordinal", F.row_number().over(w))
+        .where((F.col("ordinal") - 1) % every == 0)
+        .drop("ordinal")
+    )
+
+
+def docs_with_media_features(docs: DataFrame) -> DataFrame:
+    """Join features back to (doc_id, offset) — media_ref-keyed broadcast or
+    shuffle join; the span invariant is untouched (original docs unmodified)."""
+    feats = media_features(docs)
+    return extract_media_refs(docs).join(feats, "media_ref")

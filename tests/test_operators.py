@@ -1,0 +1,246 @@
+"""Unit tests for the dedup / similarity / text / dictionary / multimodal /
+phonetic operator suites (the pieces the DuckDB oracle can't fully grade:
+approximate recall, stub plumbing, semantics on controlled inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.operators import (
+    dedup,
+    dictionary_ops,
+    multimodal,
+    similarity,
+    text,
+)
+from liblevenshtein_rust_spark.functions.phonetic import phonetic_normalize
+from liblevenshtein_rust_spark.session import get_spark
+from liblevenshtein_rust_spark.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test_operators", cores=4, shuffle_partitions=4)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(spark):
+    docs = _docs(spark, [(1, "Hello, World!"), (2, "hello world"), (3, "other text")])
+    out = {r["keep_id"]: r["n_docs"] for r in dedup.exact_duplicates(docs).collect()}
+    assert out == {1: 2, 3: 1}  # punctuation-normalized texts 1 and 2 collide
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    far = "one two three four five six seven eight nine ten"
+    docs = _docs(spark, [(1, base), (2, near), (3, far)])
+    pairs = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    a = "w1 w2 w3 w4"  # shingles: {w1 w2 w3, w2 w3 w4}
+    b = "w1 w2 w3 w5"  # shingles: {w1 w2 w3, w2 w3 w5}
+    docs = _docs(spark, [(1, a), (2, b)])
+    rows = dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(1 / 3)
+
+
+def test_simhash_identical_and_near(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = _docs(spark, [(1, t), (2, t), (3, t + " extra"), (4, "completely different words here")])
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash_fingerprints(docs).collect()}
+    assert fp[1] == fp[2]
+    pairs = {(r["left_id"], r["right_id"]): r["hamming"]
+             for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_embedding_lsh_recall_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(20):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for m in range(3):
+            v = [x + rng.gauss(0, 0.01) for x in center]
+            rows.append((c * 3 + m, v))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    exact = {(r["left_id"], r["right_id"])
+             for r in dedup.embedding_near_pairs(emb, threshold=0.99).collect()}
+    approx = {(r["left_id"], r["right_id"])
+              for r in dedup.lsh_embedding_near_pairs(
+                  emb, dim=16, n_planes=6, threshold=0.99).collect()}
+    assert approx <= exact  # verify step → perfect precision
+    assert len(approx) >= 0.5 * len(exact)  # single-table LSH recall
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_topk_recall(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.brute_force_topk(probes, emb, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in similarity.ivf_topk(probes, emb, k=5, n_cells=8, nprobe=4).collect()}
+    # nprobe/n_cells = half the cells → expect well over half the true top-k
+    assert len(approx & exact) >= 0.5 * len(exact)
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_token_and_quality(spark):
+    docs = _docs(spark, [(1, "The cat sat on the mat with a hat today"), (2, "x")])
+    ts = {r["doc_id"]: r["ws_tokens"] for r in text.token_stats(docs).collect()}
+    assert ts == {1: 10, 2: 1}
+    q = {r["doc_id"]: r for r in text.quality_features(docs).collect()}
+    assert q[1]["quality_score"] == 1.0  # long, wordy, alpha, stopwordy
+    assert q[2]["quality_score"] < 0.8
+
+
+def test_lang_id(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat and the dog in that house was big"),
+            (2, "der hund ist nicht mit der katze und"),
+            (3, "qqq www eee"),
+        ],
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(docs).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_shared_substrings(spark):
+    docs = _docs(
+        spark,
+        [(1, "shared prefix of quite some length here A"),
+         (2, "shared prefix of quite some length here B"),
+         (3, "totally unrelated content string")],
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs).collect()}
+    assert fp[1] == fp[2]  # min-k sketch dominated by the shared prefix
+    assert fp[1] != fp[3]
+    assert len(fp[1]) == 4 * 32
+
+
+# ---------------------------------------------------------------------------
+# dictionary ops
+# ---------------------------------------------------------------------------
+
+
+def test_union_with_and_replace(spark):
+    d1 = spark.createDataFrame([("a", 1), ("b", 2)], "term string, value bigint")
+    d2 = spark.createDataFrame([("b", 10), ("c", 3)], "term string, value bigint")
+    u = {r["term"]: r["value"] for r in dictionary_ops.union_with(d1, d2).collect()}
+    assert u == {"a": 1, "b": 12, "c": 3}
+    r = {r["term"]: r["value"] for r in dictionary_ops.union_replace(d1, d2).collect()}
+    assert r == {"a": 1, "b": 10, "c": 3}
+
+
+def test_substring_positions(spark):
+    docs = _docs(spark, [(1, "abcabcab"), (2, "xxx")])
+    out = {(r["doc_id"], r["pos"])
+           for r in dictionary_ops.substring_match_positions(docs, "abc").collect()}
+    assert out == {(1, 1), (1, 4)}
+
+
+def test_fuzzy_substring(spark):
+    probes = spark.createDataFrame([("filtering",)], "query string")
+    terms = spark.createDataFrame([("filter",), ("xyz",)], "term string")
+    out = dictionary_ops.fuzzy_substring_query(probes, terms, 0).collect()
+    assert [(r["query"], r["term"], r["distance"]) for r in out] == [
+        ("filtering", "filter", 0)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# phonetic
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [("sparck", "spark"), ("skan", "scan"), ("phast", "fast"), ("kwik", "quick"),
+     ("nite", "knite")],
+)
+def test_phonetic_collisions(spark, a, b):
+    df = spark.createDataFrame([(a, b)], "a string, b string")
+    row = df.select(
+        phonetic_normalize(F.col("a")).alias("pa"),
+        phonetic_normalize(F.col("b")).alias("pb"),
+    ).collect()[0]
+    assert row["pa"] == row["pb"], row
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media_docs(spark):
+    return fixtures.generate_docs(spark, 200, seed=7).cache()
+
+
+def test_media_features_shape_and_determinism(spark, media_docs):
+    feats = multimodal.media_features(media_docs).collect()
+    assert len(feats) > 0
+    for r in feats[:10]:
+        assert r["n_bytes"] == 100
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r["feature"])
+    again = multimodal.media_features(media_docs).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_media_decode_stub_boundary():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_stub("s3://bucket/object")
+
+
+def test_frame_sample_keeps_order(spark, media_docs):
+    sampled = multimodal.frame_sample(media_docs, every=2)
+    full = multimodal.extract_media_refs(media_docs)
+    per_doc_full = full.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    per_doc_samp = sampled.groupBy("doc_id").count().withColumnRenamed("count", "k")
+    j = per_doc_full.join(per_doc_samp, "doc_id").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r["k"] == (r["n"] + 1) // 2
+
+
+def test_docs_with_media_features_join(spark, media_docs):
+    out = multimodal.docs_with_media_features(media_docs)
+    n_refs = multimodal.extract_media_refs(media_docs).count()
+    assert out.count() == n_refs
+    assert set(out.columns) == {"media_ref", "doc_id", "offset", "n_bytes", "feature"}
