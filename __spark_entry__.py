@@ -683,7 +683,7 @@ def oracle_sql() -> dict[str, str]:
             FROM keys GROUP BY key
         """,
         "exact_dedup_groups": """
-            SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'))) AS text_hash,
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS text_hash,
                    count(*)::BIGINT AS n_docs,
                    min(doc_id)::BIGINT AS keep_id
             FROM documents GROUP BY 1
@@ -806,7 +806,7 @@ def oracle_sql() -> dict[str, str]:
                        (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
                      + (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END)
                      + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
-                     + (CASE WHEN stop_hits >= 1 THEN 0.25 ELSE 0.0 END), 2) AS quality_score
+                     + (CASE WHEN stop_hits >= 1 THEN 0.25 ELSE 0.0 END)::DOUBLE, 2)::DOUBLE AS quality_score
             FROM derived
         """,
         "lang_id": """

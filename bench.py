@@ -93,14 +93,17 @@ def bench_er(spark, n_docs: int, run_dir: str) -> dict:
     }
 
 
-def _score_job(spark, n_pairs: int) -> tuple[float, int]:
-    """Kernel pair-scoring throughput job: deterministic string pairs via
-    spark.range (no I/O, no shuffle) -> vectorized distance -> count."""
+SCALE_INPUT = os.environ.get(
+    "SPARK_GRAFT_SCALE_INPUT", "/tmp/spark_graft_scale_pairs.parquet"
+)
+
+
+def gen_scale_input(spark, n_pairs: int) -> None:
+    """Write the shared scaling-job input once (both cluster sizes read the
+    SAME parquet — the north rule's same-input requirement)."""
     from pyspark.sql import functions as F
 
-    from liblevenshtein_rust_spark.functions.udfs import edit_distance_udf
-
-    base = spark.range(0, n_pairs, 1, CPUS * 4)
+    base = spark.range(0, n_pairs, 1, 128)
     # deterministic pseudo-words from the id: base-26 digits of two mixes
     def word(col, salt):
         h = F.conv(F.hex(F.xxhash64(col, F.lit(salt))), 16, 26)
@@ -115,6 +118,21 @@ def _score_job(spark, n_pairs: int) -> tuple[float, int]:
         .otherwise(word(F.col("id"), 2))
         .alias("b"),
     )
+    pairs.write.mode("overwrite").parquet(SCALE_INPUT)
+
+
+def _score_job(spark, cores: int, limit: int | None = None) -> tuple[float, int]:
+    """Kernel pair-scoring throughput: shared parquet -> repartition to
+    cores*4 (the shuffle is part of the measured job) -> vectorized
+    transposition distance -> count."""
+    from pyspark.sql import functions as F
+
+    from liblevenshtein_rust_spark.functions.udfs import edit_distance_udf
+
+    df = spark.read.parquet(SCALE_INPUT)
+    if limit:
+        df = df.limit(limit)
+    pairs = df.repartition(cores * 4)
     dist = edit_distance_udf(2, "transposition")
     t0 = time.time()
     n = pairs.select(dist(F.col("a"), F.col("b")).alias("d")).where(F.col("d") >= 0).count()
@@ -128,8 +146,8 @@ def scale_worker(cores: int) -> None:
     os.sched_setaffinity(0, set(range(cores)))
     spark = _fresh_spark(cores)
     globals()["CPUS"] = cores  # partition counts follow the cluster size
-    _score_job(spark, SCALE_PAIRS // 10)  # warm JIT/Arrow/python workers
-    t, _ = _score_job(spark, SCALE_PAIRS)
+    _score_job(spark, cores, limit=SCALE_PAIRS // 10)  # warm JIT/Arrow/workers
+    t, _ = _score_job(spark, cores)
     er = bench_er(spark, N_DOCS, tempfile.mkdtemp(prefix=f"er_scale{cores}_"))
     print(json.dumps({"cores": cores, "score_wall_s": round(t, 3), "er_wall_s": er["wall_s"]}))
 
@@ -159,6 +177,9 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     result["er"] = er_res
+
+    if DO_SCALING:
+        gen_scale_input(spark, SCALE_PAIRS)
     spark.stop()
 
     if DO_SCALING:

@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 
 
 def normalize_text(col):
-    return F.trim(F.regexp_replace(F.lower(col), r"[^a-z0-9 ]+", " "))
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9 ]+", " "), r"\s+", " "
+        )
+    )
 
 
 def word_shingles(col, k: int = 3):
