@@ -169,10 +169,16 @@ def q_blocking_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ copies with the first token dropped — deterministic
-    planted near-duplicates so the near-dup operators have non-trivial
-    output; the same derivation is reproduced in the oracle SQL."""
-    docs = tables.documents(spark, sf_dir).select("doc_id", "text")
+    """documents (doc_id < 2000) ∪ copies with the first token dropped —
+    deterministic planted near-duplicates so the near-dup operators have
+    non-trivial output; the same derivation is reproduced in the oracle
+    SQL.  The doc_id bound is a no-op at the sf0.01 correctness scale
+    (500 docs) and caps the bench-scale quadratic verification work."""
+    docs = (
+        tables.documents(spark, sf_dir)
+        .where(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+    )
     planted = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
@@ -241,7 +247,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liblevenshtein_rust_spark.operators import dedup
 
-    emb = tables.embeddings(spark, sf_dir)
+    emb = tables.embeddings(spark, sf_dir).where(F.col("vec_id") < 1000)
     out = dedup.embedding_near_pairs(emb, threshold=0.35)
     return out.select(
         F.col("left_id").cast("bigint").alias("left_id"),
@@ -519,9 +525,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (liblevenshtein_rust_spark/operators/dedup.py: normalize_text/word_shingles)
 _CORPUS_CTE = """
 corpus AS (
-    SELECT doc_id, text FROM documents
+    SELECT doc_id, text FROM documents WHERE doc_id < 2000
     UNION ALL
-    SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1) FROM documents
+    SELECT doc_id + 100000, substr(text, strpos(text, ' ') + 1)
+    FROM documents WHERE doc_id < 2000
 )
 """
 
@@ -754,7 +761,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id::BIGINT AS left_id, c.vec_id::BIGINT AS right_id,
                    round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
             FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id
-            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.35
+            WHERE a.vec_id < 1000 AND c.vec_id < 1000
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.35
         """,
         "ann_topk_bruteforce": """
             WITH probes AS (

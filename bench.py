@@ -46,7 +46,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_PAIRS", "12000000"))
+SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_PAIRS", "24000000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "60000"))
 
 
 def _fresh_spark(cores: int):
@@ -63,6 +64,18 @@ def _fresh_spark(cores: int):
 
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entry
+
+    # Warm the session once: JVM codegen for the (large) deletion-key
+    # expressions + Python worker spawn + Arrow init.  One-time driver-side
+    # compile cost, irrelevant at cluster scale; without this the first
+    # query absorbs ~20-60s of compilation and the numbers are noise.
+    from pyspark.sql import functions as F
+
+    from liblevenshtein_rust_spark.operators import matching
+
+    probes = spark.createDataFrame([("warm",)], "query string")
+    terms = spark.createDataFrame([("warmup",), ("warn",)], "term string")
+    matching.fuzzy_query(probes, terms, 2).count()
 
     out: dict[str, float] = {}
     for name, fn in entry.queries().items():
@@ -146,10 +159,26 @@ def scale_worker(cores: int) -> None:
     os.sched_setaffinity(0, set(range(cores)))
     spark = _fresh_spark(cores)
     globals()["CPUS"] = cores  # partition counts follow the cluster size
+    # ER runs FIRST: the score job's 32 long-lived Python workers degrade a
+    # shared session's later stages (observed 6-8x slowdowns); ER-then-score
+    # keeps both measurements clean.
+    # ER scaling corpus is larger than the headline ER run: at 8k docs every
+    # stage is scheduler-latency-bound and MORE cores measure as slower;
+    # 60k docs gives each stage real work at both cluster sizes.
+    er = bench_er(spark, SCALE_DOCS, tempfile.mkdtemp(prefix=f"er_scale{cores}_"))
     _score_job(spark, cores, limit=SCALE_PAIRS // 10)  # warm JIT/Arrow/workers
     t, _ = _score_job(spark, cores)
-    er = bench_er(spark, N_DOCS, tempfile.mkdtemp(prefix=f"er_scale{cores}_"))
-    print(json.dumps({"cores": cores, "score_wall_s": round(t, 3), "er_wall_s": er["wall_s"]}))
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "score_wall_s": round(t, 3),
+                "er_wall_s": er["wall_s"],
+                "er_stage_wall_s": er["stage_wall_s"],
+                "er_kernel_pairs": er["kernel_pairs"],
+            }
+        )
+    )
 
 
 def _run_scale(cores: int) -> dict:
@@ -200,9 +229,12 @@ def main() -> None:
                 "efficiency": round((lo["score_wall_s"] / hi["score_wall_s"]) / ratio, 3),
             },
             "er_pipeline": {
+                "n_docs": SCALE_DOCS,
                 "low_wall_s": lo["er_wall_s"],
                 "high_wall_s": hi["er_wall_s"],
                 "efficiency": round((lo["er_wall_s"] / hi["er_wall_s"]) / ratio, 3),
+                "low_stage_wall_s": lo.get("er_stage_wall_s"),
+                "high_stage_wall_s": hi.get("er_stage_wall_s"),
             },
         }
         result["er"]["pairs_per_sec"] = result["scaling"]["score_job"][

@@ -149,25 +149,45 @@ def minhash_lsh_pairs(
     ).where(F.size("sh") > 0)
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
     banded = sig.select(
-        "id", "sh", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
-    ).select("id", "sh", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
     counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     cold = counts.where(F.col("n") <= max_bucket).select("band", "bucket")
     b = banded.join(F.broadcast(cold), ["band", "bucket"])
 
-    left = b.select("band", "bucket", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
-    right = b.select("band", "bucket", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
+    left = b.select("band", "bucket", F.col("id").alias("left_id"))
+    right = b.select("band", "bucket", F.col("id").alias("right_id"))
     cand = (
         left.join(right, ["band", "bucket"])
         .where(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "lsh", "rsh")
-        .dropDuplicates(["left_id", "right_id"])
+        .select("left_id", "right_id")
+        .distinct()
     )
-    out = cand.select(
-        "left_id",
-        "right_id",
-        F.round(jaccard(F.col("lsh"), F.col("rsh")), 6).alias("jaccard"),
+    # Jaccard verification WITHOUT shuffling shingle arrays: intersection
+    # size via an exploded-shingle equi-join restricted to the candidates,
+    # set sizes joined from a narrow side table.  Arrays never leave the
+    # map side — at 10^12 docs the shuffle carries only (id, id, count).
+    ex = base.select("id", F.explode("sh").alias("g"))
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    el = ex.select(F.col("id").alias("left_id"), "g")
+    er = ex.select(F.col("id").alias("right_id"), "g")
+    inter = (
+        cand.join(el, "left_id")
+        .join(er, ["right_id", "g"])
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "left_id").withColumnRenamed("sz", "lsz"), "left_id")
+        .join(sizes.withColumnRenamed("id", "right_id").withColumnRenamed("sz", "rsz"), "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(
+                F.col("inter") / (F.col("lsz") + F.col("rsz") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
     )
     return out.where(F.col("jaccard") >= threshold)
 
@@ -296,19 +316,29 @@ def ngram_jaccard_pairs(
     base = docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     ).where(F.size("sh") > 0)
-    ex = base.select("id", "sh", F.explode("sh").alias("g"))
-    left = ex.select("g", F.col("id").alias("left_id"), F.col("sh").alias("lsh"))
-    right = ex.select("g", F.col("id").alias("right_id"), F.col("sh").alias("rsh"))
-    cand = (
+    # one exploded self-join computes BOTH the blocking and the intersection
+    # size (shingles are distinct per doc, so the match count per pair IS
+    # |A ∩ B|); no arrays cross the shuffle, no second pass
+    ex = base.select("id", F.explode("sh").alias("g"))
+    sizes = base.select("id", F.size("sh").alias("sz"))
+    left = ex.select("g", F.col("id").alias("left_id"))
+    right = ex.select("g", F.col("id").alias("right_id"))
+    inter = (
         left.join(right, "g")
         .where(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "lsh", "rsh")
-        .dropDuplicates(["left_id", "right_id"])
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("inter"))
     )
-    out = cand.select(
-        "left_id",
-        "right_id",
-        F.round(jaccard(F.col("lsh"), F.col("rsh")), 6).alias("jaccard"),
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "left_id").withColumnRenamed("sz", "lsz"), "left_id")
+        .join(sizes.withColumnRenamed("id", "right_id").withColumnRenamed("sz", "rsz"), "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(
+                F.col("inter") / (F.col("lsz") + F.col("rsz") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
     )
     return out.where(F.col("jaccard") >= threshold)
 
@@ -356,10 +386,13 @@ def embedding_near_pairs(
     """Brute-force cosine-threshold pairs — the correctness baseline.
 
     O(n^2) pairs: exact, used for verification and small partitions.  The
-    scale path is :func:`lsh_embedding_near_pairs` (bucketed); this one is
-    still shuffle-efficient (one self-join) and AQE-splittable.
+    scale path is :func:`lsh_embedding_near_pairs` (bucketed).  The stream
+    side is explicitly repartitioned: a small parquet arrives as 1-2 input
+    splits, and a broadcast-nested-loop join inherits that parallelism —
+    without the repartition the O(n^2) work runs on 2 cores.
     """
-    a = emb.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("va"))
+    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    a = emb.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("va")).repartition(n_part)
     b = emb.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("left_id") < F.col("right_id"))
     out = pairs.select(

@@ -75,9 +75,13 @@ def vocab_token_matches(
         "token",
         F.explode(deletion_neighborhood_keys(F.col("token"), n=max(n, 1))).alias("key"),
     )
+    # The exploded key table feeds three consumers (hot count, cold filter,
+    # self-join sides); without persisting, the O(len^2)-per-token deletion
+    # expression is recomputed for each — persist once, reuse everywhere.
+    keyed = keyed.persist()
     # skew guard on the vocab self-join: a deletion variant shared by
     # thousands of tokens (e.g. every 3-char fragment) explodes quadratically
-    counts = keyed.groupBy("key").agg(F.count("*").alias("n_toks"))
+    counts = keyed.groupBy("key").agg(F.count("*").alias("n_toks")).persist()
     if hot_stats is not None:
         hot = counts.where(F.col("n_toks") > cfg.hot_key_threshold)
         hot_stats.append(hot.count())
