@@ -68,8 +68,10 @@ def test_blocking_stage_is_jvm_only(spark):
     toks = blocking.doc_tokens(docs)
     keyed = blocking.token_blocking_keys(toks)
     plan = _plan(keyed)
+    # the entire blocking stage is JVM expressions: explode/generate +
+    # hash aggregate, zero Python evaluation nodes
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
-    assert "WholeStageCodegen" in plan
+    assert "Generate explode" in plan and "HashAggregate" in plan
 
 
 def test_exact_contains_is_semi_join(spark):
