@@ -47,7 +47,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_PAIRS", "24000000"))
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "60000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "250000"))
 
 
 def _fresh_spark(cores: int):
@@ -181,40 +181,49 @@ def scale_worker(cores: int) -> None:
     )
 
 
-def _run_scale(cores: int) -> dict:
+def _run_worker(*args: str) -> dict:
+    """Run one measurement phase in a fresh subprocess.  The parent NEVER
+    starts a JVM: a lingering 48 GB driver JVM from an earlier phase was
+    measured to slow a concurrent subprocess's stages 3-6x (GC/memory
+    pressure), inverting scaling results."""
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_BENCH_SCALE_PAIRS=str(SCALE_PAIRS),
                SPARK_GRAFT_BENCH_DOCS=str(N_DOCS))
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cores)],
+        [sys.executable, os.path.abspath(__file__), *args],
         capture_output=True, text=True, env=env, timeout=1800, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def main() -> None:
-    result: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1]}
-
+def main_worker() -> None:
+    """Queries + headline ER + scale-input generation, one subprocess."""
     spark = _fresh_spark(CPUS)
     q = bench_queries(spark)
-    result["queries"] = q
-
     tmp = tempfile.mkdtemp(prefix="bench_er_")
     try:
         er_res = bench_er(spark, N_DOCS, os.path.join(tmp, "run"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    result["er"] = er_res
-
     if DO_SCALING:
         gen_scale_input(spark, SCALE_PAIRS)
-    spark.stop()
+    print(json.dumps({"queries": q, "er": er_res}))
+
+
+def main() -> None:
+    result: dict = {"sf": SF_DIR.rstrip("/").split("sf")[-1]}
+
+    head = _run_worker("--main-worker")
+    result["queries"] = head["queries"]
+    result["er"] = head["er"]
+    er_res = head["er"]
+    q = head["queries"]
 
     if DO_SCALING:
         low = max(CPUS // 4, 1)
-        hi = _run_scale(CPUS)
-        lo = _run_scale(low)
+        lo = _run_worker("--scale-worker", str(low))
+        hi = _run_worker("--scale-worker", str(CPUS))
         ratio = CPUS / low
         result["scaling"] = {
             "cores_low": low,
@@ -250,5 +259,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--scale-worker":
         scale_worker(int(sys.argv[2]))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--main-worker":
+        main_worker()
     else:
         main()

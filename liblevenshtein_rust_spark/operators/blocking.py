@@ -97,8 +97,13 @@ def rare_tokens(tok: DataFrame, max_df: int = 50) -> DataFrame:
     token table (map-side combine, no extra scan of the raw docs).
     """
     df_counts = tok.groupBy("token").agg(F.count("*").alias("df"))
-    keep = df_counts.where(F.col("df") <= max_df).select("token")
-    return tok.join(F.broadcast(keep), "token").select("doc_id", "token")
+    # stopword-grade tokens are FEW (Zipf head) — broadcast those and
+    # anti-join; the keep-set is nearly the whole vocabulary and must not
+    # be a broadcast build side
+    frequent = df_counts.where(F.col("df") > max_df).select("token")
+    return tok.join(F.broadcast(frequent), "token", "left_anti").select(
+        "doc_id", "token"
+    )
 
 
 def token_blocking_keys(
@@ -130,8 +135,10 @@ def candidate_doc_pairs(
     silent.
     """
     counts = keyed.groupBy("key").agg(F.countDistinct("doc_id").alias("n_docs"))
-    cold = counts.where(F.col("n_docs") <= hot_threshold).select("key")
-    k = keyed.join(F.broadcast(cold), "key")
+    hot = counts.where(F.col("n_docs") > hot_threshold).select("key")
+    # broadcast the (small) hot-key set and anti-join; the cold set is the
+    # whole key universe and must never be a broadcast build side
+    k = keyed.join(F.broadcast(hot), "key", "left_anti")
     left = k.select(
         "key",
         F.col("doc_id").alias("left_id"),

@@ -76,10 +76,18 @@ def connected_components(
     component = own id — see :func:`attach_singletons`).
     """
     spark = edges.sparkSession
-    n_part = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    e = _canonical_edges(edges, src, dst).repartition(n_part, "u")
+    e = _canonical_edges(edges, src, dst)
+    if num_partitions is None:
+        # size the fixpoint's partitioning to the DATA, not the cluster:
+        # each iteration is ~6 shuffles, and scheduling 32 near-empty
+        # partitions per shuffle makes small graphs anti-scale with cores.
+        # ~100k edges per partition keeps tasks meaningful; capped at the
+        # session shuffle parallelism so huge graphs use the full cluster.
+        n_edges = e.count()
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = max(1, min(cap, n_edges // 100_000 + 1))
+    n_part = num_partitions
+    e = e.repartition(n_part, "u")
     e = e.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         e2 = _large_star(e)

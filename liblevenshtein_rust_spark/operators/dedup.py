@@ -153,8 +153,9 @@ def minhash_lsh_pairs(
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
 
     counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
-    cold = counts.where(F.col("n") <= max_bucket).select("band", "bucket")
-    b = banded.join(F.broadcast(cold), ["band", "bucket"])
+    hot = counts.where(F.col("n") > max_bucket).select("band", "bucket")
+    # broadcast the (small) hot set, anti-join — never the huge cold set
+    b = banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
 
     left = b.select("band", "bucket", F.col("id").alias("left_id"))
     right = b.select("band", "bucket", F.col("id").alias("right_id"))

@@ -81,12 +81,16 @@ def vocab_token_matches(
     keyed = keyed.persist()
     # skew guard on the vocab self-join: a deletion variant shared by
     # thousands of tokens (e.g. every 3-char fragment) explodes quadratically
-    counts = keyed.groupBy("key").agg(F.count("*").alias("n_toks")).persist()
+    counts = keyed.groupBy("key").agg(F.count("*").alias("n_toks"))
+    hot = counts.where(F.col("n_toks") > cfg.hot_key_threshold).select("key")
     if hot_stats is not None:
-        hot = counts.where(F.col("n_toks") > cfg.hot_key_threshold)
+        hot = hot.persist()
         hot_stats.append(hot.count())
-    cold = counts.where(F.col("n_toks") <= cfg.hot_key_threshold).select("key")
-    k = keyed.join(F.broadcast(cold), "key")
+    # Broadcast the HOT side (small by construction) and anti-join: the cold
+    # side is nearly the whole key table — broadcasting it would serialize a
+    # multi-GB hash build on the driver (measured: the stage went flat at
+    # any core count until this was inverted).
+    k = keyed.join(F.broadcast(hot), "key", "left_anti")
 
     a = k.select("key", F.col("token").alias("tok_a"))
     b = k.select("key", F.col("token").alias("tok_b"))

@@ -27,13 +27,14 @@ def get_spark(
     """Build (or fetch) the session.
 
     ``cores=None`` → ``local[$SPARK_GRAFT_CPUS]`` (driver contract).
-    ``shuffle_partitions`` defaults to the core count: at 100 TB scale this
-    knob is instead set to ~2-3x total executor cores; every operator in this
-    package takes explicit ``num_partitions`` overrides so the same code
-    scales by config, not edit.
+    ``shuffle_partitions`` defaults to 4x the core count (the standard
+    2-4x rule): finer tasks bound per-task memory in wide self-joins (32
+    core-wide partitions in one heap caused GC storms), and AQE coalesces
+    whatever ends up small; every operator also takes explicit
+    ``num_partitions`` overrides so the same code scales by config.
     """
     n = cores or default_parallelism()
-    sp = shuffle_partitions or n
+    sp = shuffle_partitions or n * 4
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
