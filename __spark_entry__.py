@@ -123,6 +123,36 @@ def q_fuzzy_query_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query", "term", F.col("distance").cast("int").alias("distance"))
 
 
+OCR_PROBES = ["c0lumn", "5mall", "5park", "filt3r", "merge", "zzzzzz"]
+
+
+def q_fuzzy_query_merge_split_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-and-split variant (``distance/mod.rs:624``): no SQL oracle
+    exists (not expressible without recursion) — correctness is pinned by
+    the kernel cross-validation suite; the driver records rows-only."""
+    from liblevenshtein_rust_spark.kernel.distances import MERGE_AND_SPLIT
+
+    return matching.fuzzy_query(
+        _probes_df(spark), _doc_tokens(spark, sf_dir), 2, MERGE_AND_SPLIT
+    ).select("query", "term", F.col("distance").cast("int").alias("distance"))
+
+
+def q_fuzzy_query_ocr_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-cost substitution policy (substitution_policy.rs): o<->0 and
+    s<->5 are free.  The policy is an equivalence closure, so the oracle is
+    exact: levenshtein over translate-canonicalized strings."""
+    from liblevenshtein_rust_spark.functions.substitutions import allow
+
+    policy = allow(("o", "0"), ("s", "5"))
+    return matching.fuzzy_query(
+        _probes_df(spark, OCR_PROBES),
+        _doc_tokens(spark, sf_dir),
+        1,
+        STANDARD,
+        allowed_subs=policy,
+    ).select("query", "term", F.col("distance").cast("int").alias("distance"))
+
+
 def q_exact_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dictionary::contains — left-semi join on the term."""
     return _probes_df(spark).join(
@@ -484,6 +514,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_query_topk": q_fuzzy_query_topk,
     "fuzzy_query_transposition_d1": q_fuzzy_query_transposition_d1,
     "fuzzy_query_prefix": q_fuzzy_query_prefix,
+    "fuzzy_query_merge_split_d2": q_fuzzy_query_merge_split_d2,
+    "fuzzy_query_ocr_subs": q_fuzzy_query_ocr_subs,
     "exact_contains": q_exact_contains,
     "fuzzy_multimap": q_fuzzy_multimap,
     "blocking_key_stats": q_blocking_key_stats,
@@ -650,6 +682,14 @@ def oracle_sql() -> dict[str, str]:
                 WHERE g.k <= length(t.term)
                 GROUP BY p.query, t.term
             ) WHERE distance <= 1
+        """,
+        "fuzzy_query_ocr_subs": f"""
+            WITH {_PLAIN_TOKS_CTE},
+            probes AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in OCR_PROBES)}) v(query))
+            SELECT p.query, t.term,
+                   levenshtein(translate(p.query, '05', 'os'), translate(t.term, '05', 'os'))::INT AS distance
+            FROM probes p, toks t
+            WHERE levenshtein(translate(p.query, '05', 'os'), translate(t.term, '05', 'os')) <= 1
         """,
         "exact_contains": f"""
             WITH {toks}

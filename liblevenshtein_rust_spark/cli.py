@@ -1,0 +1,196 @@
+"""Command-line driver — the ``liblevenshtein`` CLI surface re-expressed
+for spark-submit.
+
+Reference command set (``/root/reference/src/cli/args.rs:25-237``):
+Query, Info, Convert, Insert, Delete, Minimize (+ REPL/Settings, which are
+interactive and out of scope for a batch driver).  Mapping:
+
+    query     fuzzy query a dictionary table        (Transducer::query_ordered)
+    info      row count + schema + key stats        (Commands::Info)
+    convert   read any supported format, write another (Commands::Convert)
+    upsert    merge new terms into a dictionary     (Insert / DynamicDawg)
+    delete    remove terms                          (Delete)
+    er        run the full entity-resolution pipeline on an interleaved
+              docs table (the pipeline this engine exists for)
+
+Launch:  spark-submit --py-files liblevenshtein_rust_spark.zip \
+             -m liblevenshtein_rust_spark.cli query --dict terms.parquet \
+             --term qury --max-distance 2 --limit 10
+
+Formats: parquet (default), json, csv, text (one term per line — the
+reference's plaintext dictionary format, ``serialization/plaintext_impl.rs``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _read(spark, path: str, fmt: str, term_col: str):
+    if fmt == "text":
+        return spark.read.text(path).withColumnRenamed("value", term_col)
+    return getattr(spark.read, fmt)(path)
+
+
+def _write(df, path: str, fmt: str, term_col: str):
+    if fmt == "text":
+        df.select(term_col).write.mode("overwrite").text(path)
+    else:
+        getattr(df.write.mode("overwrite"), fmt)(path)
+
+
+def cmd_query(spark, args) -> None:
+    from pyspark.sql import functions as F
+
+    from .operators import matching
+
+    probes = spark.createDataFrame([(t,) for t in args.term], "query string")
+    dictionary = _read(spark, args.dict, args.format, args.term_col).select(
+        F.col(args.term_col).alias("term")
+    )
+    res = matching.fuzzy_query_ordered(
+        probes,
+        dictionary,
+        args.max_distance,
+        args.algorithm,
+        limit=args.limit,
+        prefix_mode=args.prefix,
+    )
+    for row in res.collect():
+        if args.show_distances:
+            print(f"{row['query']}\t{row['term']}\t{row['distance']}")
+        else:
+            print(f"{row['query']}\t{row['term']}")
+
+
+def cmd_info(spark, args) -> None:
+    from pyspark.sql import functions as F
+
+    from .functions.blocking_keys import deletion_neighborhood_keys
+
+    df = _read(spark, args.dict, args.format, args.term_col)
+    n = df.count()
+    keys = df.select(
+        F.explode(deletion_neighborhood_keys(F.col(args.term_col), 1)).alias("k")
+    )
+    out = {
+        "rows": n,
+        "schema": df.schema.simpleString(),
+        "distinct_terms": df.select(args.term_col).distinct().count(),
+        "blocking_keys_d1": keys.distinct().count(),
+    }
+    print(json.dumps(out))
+
+
+def cmd_convert(spark, args) -> None:
+    df = _read(spark, args.input, args.from_format, args.term_col)
+    _write(df, args.output, args.to_format, args.term_col)
+    print(f"converted {args.input} ({args.from_format}) -> {args.output} ({args.to_format})")
+
+
+def cmd_upsert(spark, args) -> None:
+    from .operators import incremental
+
+    d = _read(spark, args.dict, args.format, args.term_col)
+    terms = spark.createDataFrame([(t,) for t in args.term], f"{args.term_col} string")
+    out = incremental.apply_upserts(d, terms, args.term_col, value_col=None)
+    _write(out, args.output or args.dict + ".out", args.format, args.term_col)
+    print(f"upserted {len(args.term)} terms")
+
+
+def cmd_delete(spark, args) -> None:
+    from .operators import incremental
+
+    d = _read(spark, args.dict, args.format, args.term_col)
+    terms = spark.createDataFrame([(t,) for t in args.term], f"{args.term_col} string")
+    out = incremental.apply_deletes(d, terms, args.term_col)
+    _write(out, args.output or args.dict + ".out", args.format, args.term_col)
+    print(f"deleted {len(args.term)} terms")
+
+
+def cmd_er(spark, args) -> None:
+    from .pipeline import er
+
+    docs = spark.read.parquet(args.docs)
+    cfg = er.ERConfig(
+        max_distance=args.max_distance,
+        max_df=args.max_df,
+        min_token_matches=args.min_token_matches,
+    )
+    entities = er.run_pipeline(spark, docs, args.run_dir, cfg)
+    if args.output:
+        entities.write.mode("overwrite").parquet(args.output)
+    n = entities.select("entity").distinct().count()
+    print(json.dumps({"docs": entities.count(), "entities": n, "run_dir": args.run_dir}))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="liblevenshtein-spark")
+    p.add_argument("--cores", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query")
+    q.add_argument("--dict", required=True)
+    q.add_argument("--term", action="append", required=True)
+    q.add_argument("--max-distance", type=int, default=2)
+    q.add_argument("--algorithm", default="standard",
+                   choices=["standard", "transposition", "merge_and_split"])
+    q.add_argument("--prefix", action="store_true")
+    q.add_argument("--show-distances", action="store_true")
+    q.add_argument("--limit", type=int, default=None)
+    q.add_argument("--format", default="parquet")
+    q.add_argument("--term-col", default="term")
+
+    i = sub.add_parser("info")
+    i.add_argument("--dict", required=True)
+    i.add_argument("--format", default="parquet")
+    i.add_argument("--term-col", default="term")
+
+    c = sub.add_parser("convert")
+    c.add_argument("--input", required=True)
+    c.add_argument("--output", required=True)
+    c.add_argument("--from-format", default="parquet")
+    c.add_argument("--to-format", default="parquet")
+    c.add_argument("--term-col", default="term")
+
+    for name in ("upsert", "delete"):
+        s = sub.add_parser(name)
+        s.add_argument("--dict", required=True)
+        s.add_argument("--term", action="append", required=True)
+        s.add_argument("--output", default=None)
+        s.add_argument("--format", default="parquet")
+        s.add_argument("--term-col", default="term")
+
+    e = sub.add_parser("er")
+    e.add_argument("--docs", required=True)
+    e.add_argument("--run-dir", required=True)
+    e.add_argument("--output", default=None)
+    e.add_argument("--max-distance", type=int, default=2)
+    e.add_argument("--max-df", type=int, default=50)
+    e.add_argument("--min-token-matches", type=int, default=2)
+    return p
+
+
+COMMANDS = {
+    "query": cmd_query,
+    "info": cmd_info,
+    "convert": cmd_convert,
+    "upsert": cmd_upsert,
+    "delete": cmd_delete,
+    "er": cmd_er,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from .session import get_spark
+
+    spark = get_spark("liblevenshtein-spark-cli", cores=args.cores)
+    COMMANDS[args.cmd](spark, args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Corpus loaders — reference parity for ``src/corpus/parser.rs``.
+
+Two formats (documented in the reference's ``data/corpora/README.md:145-171``):
+
+- **big.txt style**: free text; the dictionary is the distinct word list.
+- **Mitton .dat style**: lines of ``$correct`` followed by misspelling
+  lines; parses to (correct, misspelling) pairs.
+
+Both are Spark reads — text source + columnar transforms — so a 100 GB
+corpus parses distributed.  (The Mitton format is line-order-dependent:
+the `$`-header applies to following lines.  Order-dependence across
+splits is handled the standard Spark way: tag each line with its file
+offset via ``input_file_name`` + a monotonic id per file, then propagate
+the last header with a window ``last(..., ignorenulls)`` — an ordered
+running state expressed relationally.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load_bigtxt_words(spark: SparkSession, path: str, min_len: int = 1) -> DataFrame:
+    """Distinct lowercase word list of a free-text corpus → (term)."""
+    lines = spark.read.text(path)
+    words = lines.select(
+        F.explode(F.split(F.regexp_replace(F.lower("value"), "[^a-z]+", " "), " ")).alias("term")
+    )
+    return words.where(F.length("term") >= min_len).distinct()
+
+
+def load_mitton_pairs(spark: SparkSession, path: str) -> DataFrame:
+    """Mitton ``$word`` + misspelling lines → (correct, misspelling).
+
+    The running ``$``-header is recovered with an ordered window over the
+    per-file line index — no driver-side iteration, arbitrarily large files.
+    """
+    lines = (
+        spark.read.text(path)
+        .withColumn("file", F.input_file_name())
+        .withColumn("idx", F.monotonically_increasing_id())
+        .withColumn("line", F.trim("value"))
+        .where(F.length("line") > 0)
+    )
+    tagged = lines.withColumn(
+        "header",
+        F.when(F.col("line").startswith("$"), F.expr("substring(line, 2)")),
+    )
+    w = Window.partitionBy("file").orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = tagged.withColumn("correct", F.last("header", ignorenulls=True).over(w))
+    return (
+        filled.where(F.col("header").isNull() & F.col("correct").isNotNull())
+        .select("correct", F.col("line").alias("misspelling"))
+    )
+
+
+def misspelling_recall(
+    pairs: DataFrame, max_distance: int, variant: str = "standard"
+) -> DataFrame:
+    """Recall@d over a misspelling corpus — the reference's corpus
+    validation gate (``tests/corpus_validation.rs:22-28``): the fraction of
+    (correct, misspelling) pairs the kernel accepts at each d <= n."""
+    from ..functions.udfs import edit_distance_udf
+
+    dist = edit_distance_udf(max_distance, variant)
+    scored = pairs.withColumn("distance", dist(F.col("misspelling"), F.col("correct")))
+    return scored.agg(
+        F.count("*").alias("n_pairs"),
+        *[
+            (
+                F.sum(
+                    F.when(
+                        (F.col("distance") >= 0) & (F.col("distance") <= d), 1
+                    ).otherwise(0)
+                )
+                / F.count("*")
+            ).alias(f"recall_d{d}")
+            for d in range(1, max_distance + 1)
+        ],
+    )

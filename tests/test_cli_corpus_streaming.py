@@ -1,0 +1,166 @@
+"""CLI smoke tests, corpus parsers, streaming incremental ingest."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark import cli
+from liblevenshtein_rust_spark.session import get_spark
+from liblevenshtein_rust_spark.sources import corpus
+from liblevenshtein_rust_spark.streaming import ingest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test_cli", cores=4, shuffle_partitions=4)
+
+
+@pytest.fixture(scope="module")
+def dict_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("dict") / "terms.parquet")
+    spark.createDataFrame(
+        [("test",), ("text",), ("toast",), ("best",), ("rest",)], "term string"
+    ).write.parquet(p)
+    return p
+
+
+def test_cli_query(spark, dict_path, capsys):
+    cli.COMMANDS["query"](
+        spark,
+        cli.build_parser().parse_args(
+            ["query", "--dict", dict_path, "--term", "tst", "--max-distance", "1",
+             "--show-distances"]
+        ),
+    )
+    out = capsys.readouterr().out.strip().splitlines()
+    assert "tst\ttest\t1" in out
+
+
+def test_cli_info(spark, dict_path, capsys):
+    cli.COMMANDS["info"](
+        spark, cli.build_parser().parse_args(["info", "--dict", dict_path])
+    )
+    info = json.loads(capsys.readouterr().out)
+    assert info["rows"] == 5 and info["distinct_terms"] == 5
+
+
+def test_cli_convert_roundtrip(spark, dict_path, tmp_path, capsys):
+    txt = str(tmp_path / "terms_txt")
+    cli.COMMANDS["convert"](
+        spark,
+        cli.build_parser().parse_args(
+            ["convert", "--input", dict_path, "--output", txt,
+             "--from-format", "parquet", "--to-format", "text"]
+        ),
+    )
+    back = spark.read.text(txt)
+    assert {r["value"] for r in back.collect()} == {"test", "text", "toast", "best", "rest"}
+
+
+def test_cli_upsert_delete(spark, dict_path, tmp_path, capsys):
+    out1 = str(tmp_path / "after_upsert")
+    cli.COMMANDS["upsert"](
+        spark,
+        cli.build_parser().parse_args(
+            ["upsert", "--dict", dict_path, "--term", "new", "--output", out1]
+        ),
+    )
+    assert {r["term"] for r in spark.read.parquet(out1).collect()} == {
+        "test", "text", "toast", "best", "rest", "new"
+    }
+    out2 = str(tmp_path / "after_delete")
+    cli.COMMANDS["delete"](
+        spark,
+        cli.build_parser().parse_args(
+            ["delete", "--dict", out1, "--term", "toast", "--output", out2]
+        ),
+    )
+    assert "toast" not in {r["term"] for r in spark.read.parquet(out2).collect()}
+
+
+# ---------------------------------------------------------------------------
+# corpus parsers
+# ---------------------------------------------------------------------------
+
+
+def test_bigtxt_words(spark, tmp_path):
+    f = tmp_path / "big.txt"
+    f.write_text("The quick brown Fox. The FOX!\nquick-thinking fox\n")
+    words = {r["term"] for r in corpus.load_bigtxt_words(spark, str(f)).collect()}
+    assert words == {"the", "quick", "brown", "fox", "thinking"}
+
+
+def test_mitton_pairs(spark, tmp_path):
+    f = tmp_path / "missp.dat"
+    f.write_text("$apple\napple1\napples\n$banana\nbananna\n")
+    pairs = {
+        (r["correct"], r["misspelling"])
+        for r in corpus.load_mitton_pairs(spark, str(f)).collect()
+    }
+    assert pairs == {
+        ("apple", "apple1"), ("apple", "apples"), ("banana", "bananna"),
+    }
+
+
+def test_misspelling_recall_gate(spark, tmp_path):
+    """Planted d<=2 typos must give 100% recall@2 — the corpus_validation.rs
+    analog on synthetic data (FIXTURES.md T5)."""
+    from liblevenshtein_rust_spark.sources import fixtures
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for w in fixtures.VOCAB[:100]:
+        for k in (1, 2):
+            rows.append((w, fixtures.apply_typos(w, k, rng)))
+    pairs = spark.createDataFrame(rows, "correct string, misspelling string")
+    # typos draw from {del, ins, sub, transpose} — transposition variant
+    # counts an adjacent swap as one edit (standard counts two)
+    rec = corpus.misspelling_recall(pairs, 2, variant="transposition").collect()[0]
+    assert rec["recall_d2"] == 1.0
+    assert 0 < rec["recall_d1"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# streaming ingest
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_incremental_ingest(spark, tmp_path):
+    src = tmp_path / "feed"
+    src.mkdir()
+    (src / "batch1.txt").write_text("alpha\nbeta\n")
+    dict_path = str(tmp_path / "dict.parquet")
+    key_path = str(tmp_path / "keys.parquet")
+    ck = str(tmp_path / "ck")
+
+    stream = ingest.stream_terms_from_files(spark, str(src))
+    q = ingest.run_incremental_ingest(stream, dict_path, key_path, ck)
+    q.awaitTermination(120)
+
+    terms = {r["term"] for r in spark.read.parquet(dict_path).collect()}
+    assert terms == {"alpha", "beta"}
+
+    # second file → second availableNow run resumes from the checkpoint and
+    # processes ONLY the new file (exactly-once over the source)
+    (src / "batch2.txt").write_text("beta\ngamma\n")
+    q2 = ingest.run_incremental_ingest(
+        ingest.stream_terms_from_files(spark, str(src)), dict_path, key_path, ck
+    )
+    q2.awaitTermination(120)
+    terms2 = {r["term"] for r in spark.read.parquet(dict_path).collect()}
+    assert terms2 == {"alpha", "beta", "gamma"}
+
+    # key table consistent with a rebuild
+    from liblevenshtein_rust_spark.operators import incremental
+
+    nk = spark.read.parquet(key_path)
+    rebuilt = incremental.blocking_key_delta(
+        spark.read.parquet(dict_path), n=1
+    )
+    assert sorted((r["term"], r["key"]) for r in nk.collect()) == sorted(
+        (r["term"], r["key"]) for r in rebuilt.collect()
+    )
