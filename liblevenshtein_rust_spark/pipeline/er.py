@@ -54,7 +54,9 @@ class ERConfig:
     variant: str = TRANSPOSITION     # typos include adjacent swaps
     min_token_len: int = 3
     max_df: int = 50                 # rare-token document-frequency cutoff
-    hot_key_threshold: int = 1000    # vocab fan-out guard on blocking keys
+    hot_key_threshold: int = 1000    # above this fan-out a key gets SALTED
+    extreme_key_threshold: int = 100_000  # above this a key is dropped+logged
+    n_salt: int = 8                  # salt groups for hot keys
     min_token_matches: int = 2       # doc-pair evidence threshold
     num_partitions: int | None = None
 
@@ -82,22 +84,37 @@ def vocab_token_matches(
     # skew guard on the vocab self-join: a deletion variant shared by
     # thousands of tokens (e.g. every 3-char fragment) explodes quadratically
     counts = keyed.groupBy("key").agg(F.count("*").alias("n_toks"))
-    hot = counts.where(F.col("n_toks") > cfg.hot_key_threshold).select("key")
+    # three bands, per the north rule's explicit skew handling:
+    #   cold    (<= hot_key_threshold)       → plain equi self-join
+    #   hot     (.. extreme_key_threshold]   → SALTED self-join (triangle
+    #             decomposition, plans.rewrites.salted_self_join_pairs):
+    #             every pair kept, no shuffle partition gets a whole bucket
+    #   extreme (> extreme_key_threshold)    → dropped with logged stats (a
+    #             key shared by 10^5+ tokens carries no pair-level signal
+    #             and its pair count is quadratically catastrophic)
+    hot = (
+        counts.where(
+            (F.col("n_toks") > cfg.hot_key_threshold)
+            & (F.col("n_toks") <= cfg.extreme_key_threshold)
+        )
+        .select("key")
+        .persist()
+    )
+    extreme = counts.where(F.col("n_toks") > cfg.extreme_key_threshold).select("key")
     if hot_stats is not None:
-        hot = hot.persist()
-        hot_stats.append(hot.count())
-    # Broadcast the HOT side (small by construction) and anti-join: the cold
-    # side is nearly the whole key table — broadcasting it would serialize a
-    # multi-GB hash build on the driver (measured: the stage went flat at
-    # any core count until this was inverted).
-    k = keyed.join(F.broadcast(hot), "key", "left_anti")
+        extreme = extreme.persist()
+        hot_stats.append(hot.count() + extreme.count())
+    # Broadcast the HOT/EXTREME sides (small by construction) and anti-join:
+    # the cold side is nearly the whole key table — broadcasting it would
+    # serialize a multi-GB hash build on the driver (measured: the stage
+    # went flat at any core count until this was inverted).
+    k = keyed.join(F.broadcast(extreme), "key", "left_anti")
 
-    a = k.select("key", F.col("token").alias("tok_a"))
-    b = k.select("key", F.col("token").alias("tok_b"))
+    from ..plans.rewrites import salted_self_join_pairs
+
     pairs = (
-        a.join(b, "key")
-        .where(F.col("tok_a") < F.col("tok_b"))
-        .select("tok_a", "tok_b")
+        salted_self_join_pairs(k, hot, n_salt=cfg.n_salt, key_col="key", id_col="token")
+        .select(F.col("left_id").alias("tok_a"), F.col("right_id").alias("tok_b"))
         .distinct()
         .where(length_prefilter(F.col("tok_a"), F.col("tok_b"), cfg.max_distance))
     )
