@@ -166,7 +166,18 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     base = _shingle_base(docs, text_col, id_col, k)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+    # signature via explode + 16 min-aggregates: identical values to
+    # minhash_signature's array form, but fully whole-stage-codegen'd
+    # (array HOFs run interpreted and were ~10x slower per batch)
+    ex0 = base.select("id", F.explode("sh").alias("g"))
+    sig = ex0.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("g"), F.lit(f":{i}")))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
+        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+    )
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
