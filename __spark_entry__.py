@@ -472,6 +472,38 @@ def q_contextual_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span input contract (BASELINE.json input_hint): derive a
+    deterministic ``spans: array<struct<kind,text,media_ref,offset>>`` column
+    from documents.text (every 5th token becomes a media span), push it
+    through the production explode → groupBy → array_sort reassembly
+    (``operators/blocking.reassemble_spans``), then re-explode.  An exact
+    oracle match proves the span-sequence invariant ``(kind, text,
+    media_ref, order)`` survives the shuffle round-trip."""
+    from liblevenshtein_rust_spark.operators import blocking
+
+    docs = tables.documents(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")
+    spans = F.transform(
+        toks,
+        lambda t, i: F.struct(
+            F.when(i % 5 == 4, F.lit("media")).otherwise(F.lit("text")).alias("kind"),
+            F.when(i % 5 == 4, F.lit("")).otherwise(t).alias("text"),
+            F.when(i % 5 == 4, F.concat(F.lit("m"), F.col("doc_id").cast("string"),
+                                        F.lit("_"), i.cast("string")))
+            .otherwise(F.lit("")).alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    built = docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+    round_tripped = blocking.reassemble_spans(built)
+    return blocking.explode_spans(round_tripped).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "kind", "text", "media_ref",
+        F.col("offset").cast("int").alias("offset"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liblevenshtein_rust_spark.operators import text
 
@@ -527,6 +559,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "span_roundtrip": q_span_roundtrip,
     "token_stats": q_token_stats,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
@@ -819,6 +852,19 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "span_roundtrip": """
+            SELECT doc_id::BIGINT AS doc_id,
+                   CASE WHEN (i - 1) % 5 = 4 THEN 'media' ELSE 'text' END AS kind,
+                   CASE WHEN (i - 1) % 5 = 4 THEN '' ELSE tk[i] END AS text,
+                   CASE WHEN (i - 1) % 5 = 4
+                        THEN 'm' || doc_id::VARCHAR || '_' || (i - 1)::VARCHAR
+                        ELSE '' END AS media_ref,
+                   (i - 1)::INT AS offset
+            FROM (SELECT doc_id,
+                         string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS tk
+                  FROM documents),
+                 unnest(generate_series(1, len(tk))) g(i)
         """,
         "token_stats": """
             SELECT doc_id::BIGINT AS doc_id,

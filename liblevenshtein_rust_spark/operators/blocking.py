@@ -34,17 +34,22 @@ from ..functions.blocking_keys import (
 )
 
 
-def extract_span_text(docs: DataFrame) -> DataFrame:
-    """(doc_id, offset, text) for text spans, order preserved by offset."""
-    ex = docs.select(
-        "doc_id", F.explode("spans").alias("span")
-    ).select(
+def explode_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, kind, text, media_ref, offset) — one row per span, all
+    kinds.  The flat projection of the interleaved input contract
+    (BASELINE.json input_hint); order is recoverable from ``offset``."""
+    return docs.select("doc_id", F.explode("spans").alias("span")).select(
         "doc_id",
         F.col("span.kind").alias("kind"),
         F.col("span.text").alias("text"),
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
+
+
+def extract_span_text(docs: DataFrame) -> DataFrame:
+    """(doc_id, offset, text) for text spans, order preserved by offset."""
+    ex = explode_spans(docs)
     return ex.where(F.col("kind") == "text").select("doc_id", "offset", "text")
 
 
