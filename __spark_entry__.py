@@ -472,16 +472,10 @@ def q_contextual_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interleaved-span input contract (BASELINE.json input_hint): derive a
-    deterministic ``spans: array<struct<kind,text,media_ref,offset>>`` column
-    from documents.text (every 5th token becomes a media span), push it
-    through the production explode → groupBy → array_sort reassembly
-    (``operators/blocking.reassemble_spans``), then re-explode.  An exact
-    oracle match proves the span-sequence invariant ``(kind, text,
-    media_ref, order)`` survives the shuffle round-trip."""
-    from liblevenshtein_rust_spark.operators import blocking
-
+def _derived_span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic interleaved-doc table in the BASELINE.json input_hint
+    shape, derived from documents.text: every 5th token becomes a media span
+    with ref ``m{doc_id}_{offset}``; the rest stay text spans."""
     docs = tables.documents(spark, sf_dir)
     toks = F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")
     spans = F.transform(
@@ -495,13 +489,75 @@ def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             i.cast("int").alias("offset"),
         ),
     )
-    built = docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
+    )
+
+
+def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-span input contract (BASELINE.json input_hint): derive a
+    deterministic ``spans: array<struct<kind,text,media_ref,offset>>`` column
+    from documents.text (every 5th token becomes a media span), push it
+    through the production explode → groupBy → array_sort reassembly
+    (``operators/blocking.reassemble_spans``), then re-explode.  An exact
+    oracle match proves the span-sequence invariant ``(kind, text,
+    media_ref, order)`` survives the shuffle round-trip."""
+    from liblevenshtein_rust_spark.operators import blocking
+
+    built = _derived_span_docs(spark, sf_dir)
     round_tripped = blocking.reassemble_spans(built)
     return blocking.explode_spans(round_tripped).select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "kind", "text", "media_ref",
         F.col("offset").cast("int").alias("offset"),
     )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction over the derived interleaved table:
+    distinct media refs → ``mapInPandas`` decode-stub (SHA-256 squeeze,
+    ``operators/multimodal._decode_stub``) → 16-dim feature vector.  The
+    stub is deterministic, so the oracle replays the byte derivation in SQL;
+    features are rounded to 3 decimals (float32 error ~6e-8 vs a >=2.8e-7
+    gap to any rounding boundary for S/1785-rational values, so rounding is
+    exact on both sides)."""
+    from liblevenshtein_rust_spark.operators import multimodal
+
+    built = _derived_span_docs(spark, sf_dir)
+    out = multimodal.media_features(built)
+    return out.select(
+        "media_ref",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.transform("feature", lambda x: F.round(x.cast("double"), 3)).alias("feature"),
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling analog: keep every 2nd media span per doc ordered by
+    offset (``operators/multimodal.frame_sample``) — the plan shape of video
+    frame sampling as a windowed ordinal filter."""
+    from liblevenshtein_rust_spark.operators import multimodal
+
+    built = _derived_span_docs(spark, sf_dir)
+    return multimodal.frame_sample(built, every=2).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("offset").cast("int").alias("offset"),
+        "media_ref",
+    )
+
+
+def q_fuzzy_query_weighted_nosub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-weighted operation set (GeneralizedAutomaton parity,
+    reference ``generalized/operation_set.rs``): substitution cost 2 at
+    budget 1 — only exact matches and single insert/delete pairs pass.  The
+    weighted semantics are SQL-expressible exactly: levenshtein <= 1 AND the
+    one edit (if any) changed the length."""
+    from liblevenshtein_rust_spark.kernel.generalized import OperationWeights
+
+    return matching.fuzzy_query_weighted(
+        _probes_df(spark), _doc_tokens(spark, sf_dir), 1,
+        OperationWeights(substitute=2),
+    ).select("query", "term", F.col("distance").cast("int").alias("distance"))
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,6 +616,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_ivf": q_ann_topk_ivf,
     "span_roundtrip": q_span_roundtrip,
+    "media_features": q_media_features,
+    "media_frame_sample": q_media_frame_sample,
+    "fuzzy_query_weighted_nosub": q_fuzzy_query_weighted_nosub,
     "token_stats": q_token_stats,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
@@ -865,6 +924,61 @@ def oracle_sql() -> dict[str, str]:
                          string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS tk
                   FROM documents),
                  unnest(generate_series(1, len(tk))) g(i)
+        """,
+        "media_features": """
+            WITH refs AS (
+                SELECT DISTINCT 'm' || doc_id::VARCHAR || '_' || (i - 1)::VARCHAR AS media_ref
+                FROM (SELECT doc_id,
+                             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS tk
+                      FROM documents),
+                     unnest(generate_series(1, len(tk))) g(i)
+                WHERE (i - 1) % 5 = 4
+            ),
+            -- payload byte k (k in 0..99) = sha256(ref) digest byte (k mod 32)
+            pl AS (
+                SELECT media_ref,
+                       [('0x' || substr(sha256(media_ref), 2 * (k % 32) + 1, 2))::INT
+                        FOR k IN generate_series(0, 99)] AS b
+                FROM refs
+            ),
+            -- feature j = mean over 7 rows of the zero-padded (112-byte) 16-wide
+            -- reshape, / 255
+            feat AS (
+                SELECT media_ref, j,
+                       round(sum(CASE WHEN 16 * r + j < 100 THEN b[16 * r + j + 1]
+                                      ELSE 0 END) / 7.0 / 255.0, 3) AS f
+                FROM pl, generate_series(0, 15) gj(j), generate_series(0, 6) gr(r)
+                GROUP BY media_ref, j
+            )
+            SELECT media_ref, 100::INT AS n_bytes,
+                   list(f ORDER BY j) AS feature
+            FROM feat GROUP BY media_ref
+        """,
+        "media_frame_sample": """
+            WITH media AS (
+                SELECT doc_id, (i - 1) AS "offset",
+                       'm' || doc_id::VARCHAR || '_' || (i - 1)::VARCHAR AS media_ref
+                FROM (SELECT doc_id,
+                             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS tk
+                      FROM documents),
+                     unnest(generate_series(1, len(tk))) g(i)
+                WHERE (i - 1) % 5 = 4
+            )
+            SELECT doc_id::BIGINT AS doc_id, "offset"::INT AS "offset", media_ref
+            FROM (
+                SELECT doc_id, "offset", media_ref,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY "offset") AS rn
+                FROM media
+            ) WHERE (rn - 1) % 2 = 0
+        """,
+        "fuzzy_query_weighted_nosub": f"""
+            WITH {toks}
+            SELECT p.query, t.term,
+                   CASE WHEN p.query = t.term THEN 0 ELSE 1 END AS distance
+            FROM probes p, toks t
+            WHERE p.query = t.term
+               OR (levenshtein(p.query, t.term) = 1
+                   AND abs(length(p.query) - length(t.term)) = 1)
         """,
         "token_stats": """
             SELECT doc_id::BIGINT AS doc_id,

@@ -85,6 +85,27 @@ def accepts_udf(
     return _acc
 
 
+def generalized_distance_udf(max_distance: int, weights):
+    """Return a pandas UDF ``(query, term) -> int`` for the runtime-weighted
+    operation set (reference ``generalized/operation_set.rs:204-239``):
+    weighted distance, or -1 when over budget.  ``weights`` is an
+    :class:`~..kernel.generalized.OperationWeights` captured in the closure —
+    the Spark analog of the reference's runtime op-set dispatch."""
+    from ..kernel.generalized import batch_generalized_distance
+
+    n = int(max_distance)
+    weights.validate()
+
+    @F.pandas_udf(IntegerType())
+    def _gdist(query: pd.Series, term: pd.Series) -> pd.Series:
+        out = batch_generalized_distance(
+            query.to_numpy(), term.to_numpy(), n, weights
+        )
+        return pd.Series(out)
+
+    return _gdist
+
+
 def length_prefilter(query_col, term_col, max_distance: int):
     """Cheap JVM-side pre-filter Catalyst can push below the UDF: any pair
     within distance n satisfies ``|len(q) - len(t)| <= n`` (the reject guard

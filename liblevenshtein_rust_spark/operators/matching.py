@@ -30,7 +30,7 @@ from ..functions.blocking_keys import (
     normalize_term,
 )
 from ..functions.udfs import edit_distance_udf, length_prefilter
-from ..kernel.distances import STANDARD
+from ..kernel.distances import MERGE_AND_SPLIT, STANDARD
 
 
 def explode_keys(df: DataFrame, term_col: str, keys_col, out: str = "key") -> DataFrame:
@@ -47,6 +47,7 @@ def candidate_pairs(
     broadcast_probes: bool = True,
     candidate_cap: int | None = None,
     use_deletion_keys: bool = True,
+    key_budget: int | None = None,
 ) -> DataFrame:
     """Join probes to dictionary on shared blocking keys.
 
@@ -54,14 +55,20 @@ def candidate_pairs(
     ``use_deletion_keys``; else unpositioned n-grams (recall-complete for the
     practical length range, far fewer keys on long strings).
 
+    ``key_budget`` overrides the deletion-key depth when the variant's ops
+    span more than one standard edit (merge/split count as up to two), while
+    the length prefilter stays at ``max_distance`` (every variant op changes
+    string length by at most 1).
+
     Returns distinct (probe_col, term_col) candidate pairs.  ``candidate_cap``
     truncates per-key candidate lists (logged via a `truncated` marker column
     aggregated by the caller) — the explosion guard SURVEY.md §4 item 4.
     """
     n = max_distance
-    if use_deletion_keys and n <= 2:
-        pkeys = deletion_neighborhood_keys(F.col(probe_col), n=min(n, 2) or 1)
-        dkeys = deletion_neighborhood_keys(F.col(term_col), n=min(n, 2) or 1)
+    kb = key_budget if key_budget is not None else n
+    if use_deletion_keys and kb <= 2:
+        pkeys = deletion_neighborhood_keys(F.col(probe_col), n=min(kb, 2) or 1)
+        dkeys = deletion_neighborhood_keys(F.col(term_col), n=min(kb, 2) or 1)
     else:
         pkeys = ngram_keys_unpositioned(F.col(probe_col))
         dkeys = ngram_keys_unpositioned(F.col(term_col))
@@ -105,13 +112,27 @@ def fuzzy_query(
     must contain a probe n-gram modulo n edits) — here we conservatively use
     the dictionary full-scan for those modes at small probe counts, keeping
     the equi-join for the standard mode.
+
+    Blocking completeness per variant: symmetric-deletion keys at depth n
+    are exact for standard/OSA/Damerau distance n (SymSpell property), but a
+    merge or split op spans TWO standard edits, so MergeAndSplit needs key
+    depth 2n — usable for n=1; for n>=2 we fall back to the broadcast-probe
+    scan (kernel rejects cheaply; at cluster scale with large probe sets a
+    dedicated alignment-window key scheme would replace this).
     """
-    if prefix_mode or substring_mode:
+    needs_scan = prefix_mode or substring_mode or (
+        variant == MERGE_AND_SPLIT and 2 * max_distance > 2
+    )
+    if needs_scan:
         # cross join against (broadcast) probes; the kernel rejects cheaply.
         p = probes.select(probe_col).distinct()
         if broadcast_probes:
             p = F.broadcast(p)
         pairs = dictionary.select(term_col).distinct().join(p)
+        if not (prefix_mode or substring_mode):
+            pairs = pairs.where(
+                length_prefilter(F.col(probe_col), F.col(term_col), max_distance)
+            )
     else:
         pairs = candidate_pairs(
             probes,
@@ -120,6 +141,7 @@ def fuzzy_query(
             probe_col,
             term_col,
             broadcast_probes=broadcast_probes,
+            key_budget=2 * max_distance if variant == MERGE_AND_SPLIT else None,
         )
     dist = edit_distance_udf(
         max_distance,
@@ -128,6 +150,52 @@ def fuzzy_query(
         substring_mode=substring_mode,
         allowed_subs=allowed_subs,
     )
+    out = pairs.withColumn("distance", dist(F.col(probe_col), F.col(term_col)))
+    return out.where(F.col("distance") >= 0)
+
+
+def fuzzy_query_weighted(
+    probes: DataFrame,
+    dictionary: DataFrame,
+    max_distance: int,
+    weights,
+    probe_col: str = "query",
+    term_col: str = "term",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Fuzzy query under a runtime-weighted operation set
+    (``GeneralizedAutomaton``, reference ``generalized/mod.rs``): output
+    (query, term, distance) with the weighted distance <= budget.
+
+    Blocking completeness: every enabled op costs >= 1, so weighted distance
+    <= n bounds the op count by n; sub/ins/del/transpose ops keep Damerau
+    distance <= op count, which symmetric-deletion keys at depth n cover
+    exactly (SymSpell).  Merge/split ops span two standard edits, so when
+    enabled the key depth doubles (n=1) or the query falls back to the
+    broadcast-probe scan (n>=2) — same policy as
+    :func:`fuzzy_query` for MergeAndSplit.  The length prefilter holds at
+    ``max_distance`` since every op shifts length by at most 1."""
+    from ..functions.udfs import generalized_distance_udf
+
+    has_ms = weights.merge is not None or weights.split is not None
+    if has_ms and 2 * max_distance > 2:
+        p = probes.select(probe_col).distinct()
+        if broadcast_probes:
+            p = F.broadcast(p)
+        pairs = dictionary.select(term_col).distinct().join(p).where(
+            length_prefilter(F.col(probe_col), F.col(term_col), max_distance)
+        )
+    else:
+        pairs = candidate_pairs(
+            probes,
+            dictionary,
+            max_distance,
+            probe_col,
+            term_col,
+            broadcast_probes=broadcast_probes,
+            key_budget=2 * max_distance if has_ms else None,
+        )
+    dist = generalized_distance_udf(max_distance, weights)
     out = pairs.withColumn("distance", dist(F.col(probe_col), F.col(term_col)))
     return out.where(F.col("distance") >= 0)
 

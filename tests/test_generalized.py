@@ -103,3 +103,85 @@ def test_builder_facade():
         .collect()
     )
     assert [(r["term"], r["distance"]) for r in res] == [("test", 1)]
+
+
+# ---------------------------------------------------------------------------
+# Spark-level blocking completeness (regression: merge/split ops span two
+# standard edits, so deletion-neighborhood keys at depth n under-block)
+# ---------------------------------------------------------------------------
+
+
+def _spark():
+    from liblevenshtein_rust_spark.session import get_spark
+
+    return get_spark("test_generalized_spark", cores=4, shuffle_partitions=4)
+
+
+def test_merge_split_blocking_completeness():
+    """'abcd' -> 'xy' is two merges (ms-distance 2) but shares NO depth-2
+    deletion key — the blocked join must not lose it."""
+    from liblevenshtein_rust_spark.kernel.distances import MERGE_AND_SPLIT
+    from liblevenshtein_rust_spark.operators import matching
+
+    spark = _spark()
+    probes = spark.createDataFrame([("ab",), ("abcd",)], "query string")
+    terms = spark.createDataFrame([("c",), ("xy",), ("ab",)], "term string")
+    out = matching.fuzzy_query(probes, terms, 2, MERGE_AND_SPLIT)
+    got = sorted((r.query, r.term, r.distance) for r in out.collect())
+    assert got == [
+        ("ab", "ab", 0),
+        ("ab", "c", 1),
+        ("ab", "xy", 2),
+        ("abcd", "ab", 2),
+        ("abcd", "xy", 2),
+    ]
+
+
+def test_fuzzy_query_merge_split_crossval():
+    """Blocked Spark query == brute-force scalar DP over the cross product."""
+    from liblevenshtein_rust_spark.kernel.distances import MERGE_AND_SPLIT
+    from liblevenshtein_rust_spark.operators import matching
+    from liblevenshtein_rust_spark.sources.fixtures import random_dictionary
+
+    spark = _spark()
+    dic = random_dictionary(60, seed=7, min_len=1, max_len=8)
+    prb = random_dictionary(10, seed=99, min_len=1, max_len=8)
+    pdf = spark.createDataFrame([(p,) for p in prb], "query string")
+    ddf = spark.createDataFrame([(t,) for t in dic], "term string")
+    for n in (1, 2):
+        got = sorted(
+            (r.query, r.term, r.distance)
+            for r in matching.fuzzy_query(pdf, ddf, n, MERGE_AND_SPLIT).collect()
+        )
+        exp = sorted(
+            (q, t, generalized_distance(q, t, MERGE_SPLIT_WEIGHTS))
+            for q in prb
+            for t in dic
+            if generalized_distance(q, t, MERGE_SPLIT_WEIGHTS) <= n
+        )
+        assert got == exp, f"mismatch at n={n}"
+
+
+def test_fuzzy_query_weighted_crossval():
+    """Weighted Spark query == brute-force weighted DP, for a policy that
+    disables substitutions at budget 1 and for merge/split weights at 2."""
+    from liblevenshtein_rust_spark.operators import matching
+    from liblevenshtein_rust_spark.sources.fixtures import random_dictionary
+
+    spark = _spark()
+    dic = random_dictionary(60, seed=11, min_len=1, max_len=8)
+    prb = random_dictionary(10, seed=42, min_len=1, max_len=8)
+    pdf = spark.createDataFrame([(p,) for p in prb], "query string")
+    ddf = spark.createDataFrame([(t,) for t in dic], "term string")
+    for w, n in ((OperationWeights(substitute=2), 1), (MERGE_SPLIT_WEIGHTS, 2)):
+        got = sorted(
+            (r.query, r.term, r.distance)
+            for r in matching.fuzzy_query_weighted(pdf, ddf, n, w).collect()
+        )
+        exp = sorted(
+            (q, t, generalized_distance(q, t, w))
+            for q in prb
+            for t in dic
+            if generalized_distance(q, t, w) <= n
+        )
+        assert got == exp
