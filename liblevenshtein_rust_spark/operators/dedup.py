@@ -89,18 +89,22 @@ def _shingle_base(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     """(id, sh) shingle table, repartitioned + persisted.
 
     Two deliberate physical choices:
-    - repartition: a small parquet input arrives as 1-2 splits, and the
-      shingle expression chain (HOF transforms, not codegen) would run on
-      2 cores regardless of cluster size;
+    - repartition the *input* BEFORE projecting: a small parquet input
+      arrives as 1-2 splits, and Spark evaluates a projection in the stage
+      that reads its child — `select(...).repartition(...)` computes the
+      (interpreted-HOF, expensive) shingle chain on those 2 splits and only
+      shuffles the finished arrays (measured: 18.7 s on 2 tasks vs ~1 s
+      wide).  `repartition(...)` first makes the exchange carry the cheap
+      raw rows and the shingling run at full parallelism;
     - persist: the table feeds 3-4 consumers (signatures, both sides of the
       verification join, the size table) — without it the expensive
       shingling is recomputed per consumer (measured 4-9x the total cost).
     """
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     base = (
-        docs.select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
+        docs.repartition(n_part)
+        .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
         .where(F.size("sh") > 0)
-        .repartition(n_part)
         .persist()
     )
     return base
@@ -291,10 +295,13 @@ def simhash_near_pairs(
     any pair within Hamming 3 of 64 bits agrees exactly on >=1 quarter),
     verify with bit_count(xor)."""
     n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    # repartition (small inputs arrive as 1-2 splits) and persist: the
-    # 63-bit fingerprint expression is large, and both join sides below
-    # would recompute it from scratch otherwise
-    fp = simhash_fingerprints(docs, text_col, id_col).repartition(n_part).persist()
+    # repartition the INPUT (small parquet arrives as 1-2 splits) so the
+    # large 63-bit fingerprint expression runs wide — projecting before the
+    # exchange would evaluate it on those 2 splits; persist because both
+    # join sides below would recompute it otherwise
+    fp = simhash_fingerprints(
+        docs.repartition(n_part), text_col, id_col
+    ).persist()
     quarters = fp.select(
         id_col,
         "simhash",
@@ -410,6 +417,40 @@ def cosine(a_col, b_col):
     return dot / (na * nb)
 
 
+def cosine_udf():
+    """Arrow-vectorized cosine — the hot-path twin of :func:`cosine`.
+
+    Interpreted HOF chains (`aggregate`/`zip_with` never enter whole-stage
+    codegen) showed 3-20 s run-to-run swings on the same 500K-pair input
+    (JIT/GC stragglers); the pandas UDF computes the same values in NumPy.
+    Accumulation is IN ORDER over dimensions (a Python loop over dims,
+    vectorized over rows) in float64 after per-element float32→double casts
+    — bit-identical to :func:`cosine` and DuckDB's list_cosine_similarity,
+    so the oracle's 6-decimal round agrees exactly.
+    """
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _cos(va, vb):
+        import pandas as pd
+
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        n = A.shape[0]
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for d in range(A.shape[1]):  # in-order accumulation, rows vectorized
+            x = A[:, d]
+            y = B[:, d]
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos
+
+
 def embedding_near_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -431,7 +472,7 @@ def embedding_near_pairs(
     out = pairs.select(
         "left_id",
         "right_id",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
+        F.round(cosine_udf()(F.col("va"), F.col("vb")), 6).alias("cos"),
     )
     return out.where(F.col("cos") >= threshold)
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine
+from .dedup import cosine, cosine_udf
 
 
 def brute_force_topk(
@@ -40,7 +40,7 @@ def brute_force_topk(
     scored = F.broadcast(q).join(c).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        F.round(cosine_udf()(F.col("qv"), F.col("cv")), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
@@ -110,7 +110,7 @@ def ivf_topk(
     scored = F.broadcast(probe_cells).join(assigned, "cell").select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        F.round(cosine_udf()(F.col("qv"), F.col("cv")), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
