@@ -100,7 +100,11 @@ def _shingle_base(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
       verification join, the size table) — without it the expensive
       shingling is recomputed per consumer (measured 4-9x the total cost).
     """
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # compute-spreading width = core count (defaultParallelism), NOT the
+    # shuffle-partition count: this repartition exists to parallelize an
+    # expensive projection, and a cache wider than the core count makes
+    # every downstream map stage pay its task count in scheduling latency
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     base = (
         docs.repartition(n_part)
         .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
@@ -294,7 +298,11 @@ def simhash_near_pairs(
     """Hamming-bounded pairs: block on the 4 16-bit quarters (pigeonhole —
     any pair within Hamming 3 of 64 bits agrees exactly on >=1 quarter),
     verify with bit_count(xor)."""
-    n_part = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # compute-spreading width = core count (defaultParallelism), NOT the
+    # shuffle-partition count: this repartition exists to parallelize an
+    # expensive projection, and a cache wider than the core count makes
+    # every downstream map stage pay its task count in scheduling latency
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     # repartition the INPUT (small parquet arrives as 1-2 splits) so the
     # large 63-bit fingerprint expression runs wide — projecting before the
     # exchange would evaluate it on those 2 splits; persist because both
@@ -465,7 +473,7 @@ def embedding_near_pairs(
     splits, and a broadcast-nested-loop join inherits that parallelism —
     without the repartition the O(n^2) work runs on 2 cores.
     """
-    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
     a = emb.select(F.col(id_col).alias("left_id"), F.col(vec_col).alias("va")).repartition(n_part)
     b = emb.select(F.col(id_col).alias("right_id"), F.col(vec_col).alias("vb"))
     pairs = a.join(b, F.col("left_id") < F.col("right_id"))
