@@ -89,17 +89,23 @@ def connected_components(
     n_part = num_partitions
     e = e.repartition(n_part, "u")
     e = e.localCheckpoint(eager=True)
+    n_prev = e.count()
     for _ in range(max_iterations):
         e2 = _large_star(e)
         e2 = _small_star(e2).repartition(n_part, "u")
         e2 = e2.localCheckpoint(eager=True)
         # converged when the edge set is stable (small-star output is always
-        # (node -> current min) star edges; stability == fixpoint)
-        changed = (
-            e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(1).count()
-        )
+        # (node -> current min) star edges; stability == fixpoint).  Both
+        # sides are distinct sets, so |e2| == |e| and e2 ⊆ e ⇒ e2 == e:
+        # one cheap count over the checkpointed RDD, and the (shuffling)
+        # exceptAll probe only on iterations where the counts already agree.
+        n2 = e2.count()
+        changed = 1
+        if n2 == n_prev:
+            changed = e2.exceptAll(e).limit(1).count()
         old = e
         e = e2
+        n_prev = n2
         if changed == 0:
             old.unpersist()
             break

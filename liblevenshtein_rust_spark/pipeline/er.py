@@ -83,7 +83,10 @@ def vocab_token_matches(
     keyed = keyed.persist()
     # skew guard on the vocab self-join: a deletion variant shared by
     # thousands of tokens (e.g. every 3-char fragment) explodes quadratically
-    counts = keyed.groupBy("key").agg(F.count("*").alias("n_toks"))
+    # The per-key fan-out table feeds three consumers (hot set, extreme set,
+    # stats agg) — persist the aggregate once instead of re-running the
+    # groupBy shuffle for each.
+    counts = keyed.groupBy("key").agg(F.count("*").alias("n_toks")).persist()
     # three bands, per the north rule's explicit skew handling:
     #   cold    (<= hot_key_threshold)       → plain equi self-join
     #   hot     (.. extreme_key_threshold]   → SALTED self-join (triangle
@@ -92,18 +95,16 @@ def vocab_token_matches(
     #   extreme (> extreme_key_threshold)    → dropped with logged stats (a
     #             key shared by 10^5+ tokens carries no pair-level signal
     #             and its pair count is quadratically catastrophic)
-    hot = (
-        counts.where(
-            (F.col("n_toks") > cfg.hot_key_threshold)
-            & (F.col("n_toks") <= cfg.extreme_key_threshold)
-        )
-        .select("key")
-        .persist()
-    )
+    hot = counts.where(
+        (F.col("n_toks") > cfg.hot_key_threshold)
+        & (F.col("n_toks") <= cfg.extreme_key_threshold)
+    ).select("key")
     extreme = counts.where(F.col("n_toks") > cfg.extreme_key_threshold).select("key")
     if hot_stats is not None:
-        extreme = extreme.persist()
-        hot_stats.append(hot.count() + extreme.count())
+        row = counts.agg(
+            F.sum((F.col("n_toks") > cfg.hot_key_threshold).cast("long")).alias("hx")
+        ).first()
+        hot_stats.append(int(row["hx"] or 0))
     # Broadcast the HOT/EXTREME sides (small by construction) and anti-join:
     # the cold side is nearly the whole key table — broadcasting it would
     # serialize a multi-GB hash build on the driver (measured: the stage
@@ -180,7 +181,7 @@ def run_pipeline(
     docs_ck = rs.stage(
         "docs",
         lambda: docs,
-        metrics=lambda d: {"n_docs": d.count()},
+        observe={"n_docs": F.count(F.lit(1))},
     )
 
     def build_tokens() -> DataFrame:
@@ -194,10 +195,12 @@ def run_pipeline(
         "token_matches",
         lambda: vocab_token_matches(toks, cfg, hot_stats),
         inputs=("tokens",),
-        metrics=lambda d: {
-            "hot_keys_dropped": hot_stats[0] if hot_stats else 0,
-            "kernel_pairs": d.where(F.col("tok_a") != F.col("tok_b")).count(),
+        observe={
+            "kernel_pairs": F.coalesce(
+                F.sum((F.col("tok_a") != F.col("tok_b")).cast("long")), F.lit(0)
+            )
         },
+        metrics=lambda d: {"hot_keys_dropped": hot_stats[0] if hot_stats else 0},
     )
 
     edges = rs.stage(

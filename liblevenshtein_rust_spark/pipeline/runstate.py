@@ -91,6 +91,7 @@ class Runstate:
         inputs: tuple[str, ...] = (),
         metrics: Callable[[DataFrame], dict] | None = None,
         partition_by: str | None = None,
+        observe: dict | None = None,
     ) -> DataFrame:
         """Run (or resume) one stage; returns its output DataFrame.
 
@@ -98,6 +99,12 @@ class Runstate:
         On resume: manifest present + fingerprint match → read parquet back
         (lineage is truncated at the checkpoint, exactly like the
         reference's resumable contexts).
+
+        ``observe`` maps metric name → aggregate Column; these are collected
+        *during the write job itself* (``df.observe``) — zero extra scans,
+        unlike ``metrics`` which runs follow-up jobs on the written output.
+        Prefer ``observe`` for anything expressible as an aggregate: at the
+        latency floor every extra per-stage job is pure fixed cost.
         """
         base, dpath, mpath = self._paths(name)
         m = self.manifest(name)
@@ -109,6 +116,12 @@ class Runstate:
             shutil.rmtree(base)
         t0 = time.time()
         df = build()
+        obs = None
+        if observe:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            df = df.observe(obs, *[c.alias(k) for k, c in observe.items()])
         tmp = dpath + ".tmp"
         w = df.write.mode("overwrite")
         if partition_by:
@@ -124,6 +137,13 @@ class Runstate:
                 if f.endswith(".parquet")
             ]
         )
+        stage_metrics: dict = {}
+        if obs is not None:
+            stage_metrics.update(
+                {k: (v.item() if hasattr(v, "item") else v) for k, v in obs.get.items()}
+            )
+        if metrics:
+            stage_metrics.update(metrics(out))
         man = {
             "stage": name,
             "rows": rows,
@@ -131,7 +151,7 @@ class Runstate:
             "inputs": list(inputs),
             "wall_s": round(time.time() - t0, 3),
             "fingerprint": self.fingerprint,
-            "metrics": metrics(out) if metrics else {},
+            "metrics": stage_metrics,
             "ts": time.time(),
         }
         os.rename(tmp, dpath)
