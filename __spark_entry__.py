@@ -193,6 +193,27 @@ def q_blocking_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (the north star's second key family):
+    total-order the vocabulary by a suffix sort-key (reversed-term prefix —
+    groups shared suffixes, unlike the n-gram/deletion families), pair each
+    term with its 4 window successors.  Distributed two-phase global rank —
+    no single-partition sort (operators/blocking.sorted_neighborhood_pairs).
+    Reference analog: ordered dictionary traversal
+    (``src/dictionary/iterator.rs``) turned into bounded candidate windows."""
+    from liblevenshtein_rust_spark.functions.blocking_keys import (
+        sorted_neighborhood_key,
+    )
+    from liblevenshtein_rust_spark.operators import blocking
+
+    toks = _doc_tokens(spark, sf_dir)
+    keyed = toks.select(
+        "term",
+        sorted_neighborhood_key(F.reverse(F.col("term")), 5).alias("snkey"),
+    )
+    return blocking.sorted_neighborhood_pairs(keyed, "snkey", "term", window=5)
+
+
 # ---------------------------------------------------------------------------
 # dedup / similarity / text-analysis queries (training-data-pipeline ops)
 # ---------------------------------------------------------------------------
@@ -303,8 +324,10 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate (IVF) — no SQL oracle by design; driver records
-    rows-only.  Recall vs brute force is asserted in tests."""
+    """Approximate (IVF) vs brute force, but fully deterministic given the
+    md5-ordered centroid pick — the oracle replays the whole index build in
+    SQL (centroids → nearest-cell assignment → nprobe cells → top-k).
+    Recall vs brute force is additionally asserted in tests."""
     from liblevenshtein_rust_spark.operators import similarity
 
     emb = tables.embeddings(spark, sf_dir)
@@ -607,6 +630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_contains": q_exact_contains,
     "fuzzy_multimap": q_fuzzy_multimap,
     "blocking_key_stats": q_blocking_key_stats,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "exact_dedup_groups": q_exact_dedup_groups,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -821,6 +845,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, count(DISTINCT term)::BIGINT AS n_terms
             FROM keys GROUP BY key
         """,
+        # NUL-padded sort key == unpadded prefix ordering on [a-z0-9]+ data
+        # (NUL is the minimal byte), so the oracle orders by the raw prefix.
+        "sorted_neighborhood_pairs": f"""
+            WITH {_PLAIN_TOKS_CTE},
+            ranked AS (
+                SELECT term,
+                       row_number() OVER (ORDER BY substr(reverse(term), 1, 5), term) AS rn
+                FROM toks
+            )
+            SELECT DISTINCT least(a.term, b.term) AS left_id,
+                            greatest(a.term, b.term) AS right_id
+            FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 4
+        """,
         "exact_dedup_groups": """
             SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS text_hash,
                    count(*)::BIGINT AS n_docs,
@@ -904,6 +941,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT p.query_id, e.vec_id,
                        round(list_cosine_similarity(p.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
                 FROM probes p, embeddings e
+            )
+            SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cos, rank::INT AS rank
+            FROM (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        # IVF is approximate vs brute force but fully DETERMINISTIC given the
+        # md5-ordered centroid pick, so the oracle replays the index build:
+        # same 16 centroids, same nearest-cell assignment (unrounded cosine,
+        # bit-identical accumulation order), same nprobe=4 probe cells, same
+        # top-k ranking as ann_topk_bruteforce.
+        "ann_topk_ivf": """
+            WITH cents AS (
+                SELECT cell, centroid FROM (
+                    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
+                           embedding AS centroid
+                    FROM embeddings
+                ) WHERE cell < 16
+            ),
+            assigned AS (
+                SELECT vec_id, cv, cell FROM (
+                    SELECT e.vec_id, e.embedding AS cv, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                                        c.cell) AS r
+                    FROM embeddings e, cents c
+                ) WHERE r = 1
+            ),
+            probes AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+            ),
+            probe_cells AS (
+                SELECT query_id, qv, cell FROM (
+                    SELECT p.query_id, p.qv, c.cell,
+                           row_number() OVER (PARTITION BY p.query_id
+                               ORDER BY list_cosine_similarity(p.qv::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                                        c.cell) AS r
+                    FROM probes p, cents c
+                ) WHERE r <= 4
+            ),
+            scored AS (
+                SELECT pc.query_id, a.vec_id,
+                       round(list_cosine_similarity(pc.qv::DOUBLE[], a.cv::DOUBLE[]), 6) AS cos
+                FROM probe_cells pc JOIN assigned a USING (cell)
             )
             SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cos, rank::INT AS rank
             FROM (

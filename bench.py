@@ -165,14 +165,31 @@ def scale_worker(cores: int) -> None:
     # ER scaling corpus is larger than the headline ER run: at 8k docs every
     # stage is scheduler-latency-bound and MORE cores measure as slower;
     # 60k docs gives each stage real work at both cluster sizes.
+    # Warm the fresh JVM + python workers with a small ER pass first: JVM
+    # heap growth, codegen, Arrow init, and worker spawn all fault fresh
+    # pages, which this host serves 10-100x slower than steady state and
+    # SERIALIZES across cores — unwarmed, the 32-core run pays ~4x the fault
+    # bill of the 8-core run inside the measured window (observed: the
+    # tokens stage anti-scaling 26s@8 -> 112s@32).  A long-lived cluster
+    # executor is always warm; measure that regime.
+    bench_er(spark, max(SCALE_DOCS // 25, 2000), tempfile.mkdtemp(prefix=f"er_warm{cores}_"))
     er = bench_er(spark, SCALE_DOCS, tempfile.mkdtemp(prefix=f"er_scale{cores}_"))
     _score_job(spark, cores, limit=SCALE_PAIRS // 10)  # warm JIT/Arrow/workers
+    # First full pass faults every executor/worker page once — on this
+    # sandbox host, first-touch of fresh pages is 10-100x slower than steady
+    # state (measured 10 MB/s vs >5 GB/s under host memory throttling), and
+    # the fault path is serialized host-side so it anti-scales with cores.
+    # The STEADY-STATE pass is the honest stand-in for a long-running
+    # cluster executor at the 10^12-doc regime; the cold pass is reported
+    # alongside for transparency.
+    t_cold, _ = _score_job(spark, cores)
     t, _ = _score_job(spark, cores)
     print(
         json.dumps(
             {
                 "cores": cores,
                 "score_wall_s": round(t, 3),
+                "score_wall_cold_s": round(t_cold, 3),
                 "er_wall_s": er["wall_s"],
                 "er_stage_wall_s": er["stage_wall_s"],
                 "er_kernel_pairs": er["kernel_pairs"],
@@ -233,6 +250,8 @@ def main() -> None:
                 "pairs": SCALE_PAIRS,
                 "low_wall_s": lo["score_wall_s"],
                 "high_wall_s": hi["score_wall_s"],
+                "low_wall_cold_s": lo.get("score_wall_cold_s"),
+                "high_wall_cold_s": hi.get("score_wall_cold_s"),
                 "low_pairs_per_sec": round(SCALE_PAIRS / lo["score_wall_s"]),
                 "high_pairs_per_sec": round(SCALE_PAIRS / hi["score_wall_s"]),
                 "efficiency": round((lo["score_wall_s"] / hi["score_wall_s"]) / ratio, 3),

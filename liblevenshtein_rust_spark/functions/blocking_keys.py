@@ -114,6 +114,15 @@ def _delete_at(s: Column, i) -> Column:
     return F.concat(s.substr(F.lit(1), i - 1), s.substr(i + 1, F.length(s)))
 
 
+def let_bound(value_col: Column, fn) -> Column:
+    """Evaluate ``value_col`` ONCE per row and pass it to ``fn`` as a bound
+    lambda variable.  Spark SQL has no `let`; referencing a subexpression
+    twice re-evaluates its whole subtree (interpreted HOFs get no
+    common-subexpression elimination) — see the same pattern in
+    ``operators/dedup.py``."""
+    return F.transform(F.array(value_col), fn)[0]
+
+
 def sorted_neighborhood_key(col: Column, p: int = 5) -> Column:
     """Sort key for the sorted-neighborhood method (window-join downstream)."""
     return F.rpad(F.substring(col, 1, p), p, "\x00")
@@ -137,21 +146,26 @@ def deletion_neighborhood_keys(col: Column, n: int = 1) -> Column:
     del1 = F.when(length < 1, F.array().cast("array<string>")).otherwise(
         F.transform(F.sequence(F.lit(1), F.greatest(length, F.lit(1))), lambda i: _delete_at(s, i))
     )
-    base = F.concat(F.array(s), del1)
     if n == 1:
-        return F.array_distinct(base)
-    # n == 2: delete once more from each single-deletion string
-    del2 = F.flatten(
-        F.transform(
-            del1,
-            lambda d: F.when(
-                F.length(d) < 1, F.array().cast("array<string>")
-            ).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length(d), F.lit(1))),
-                    lambda i: _delete_at(d, i),
-                )
-            ),
+        return F.array_distinct(F.concat(F.array(s), del1))
+
+    # n == 2: delete once more from each single-deletion string.  ``del1``
+    # feeds both the output and the second deletion pass — let-bind it so
+    # the O(len)-per-element transform runs once per row, not twice.
+    def build(d1: Column) -> Column:
+        del2 = F.flatten(
+            F.transform(
+                d1,
+                lambda d: F.when(
+                    F.length(d) < 1, F.array().cast("array<string>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.length(d), F.lit(1))),
+                        lambda i: _delete_at(d, i),
+                    )
+                ),
+            )
         )
-    )
-    return F.array_distinct(F.concat(base, del2))
+        return F.array_distinct(F.concat(F.array(s), d1, del2))
+
+    return let_bound(del1, build)

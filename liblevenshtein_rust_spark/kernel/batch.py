@@ -45,13 +45,49 @@ from .distances import MERGE_AND_SPLIT, STANDARD, TRANSPOSITION
 _PAD = np.uint32(0xFFFFFFFF)  # sentinel codepoint: never equal to a real char
 
 
-def encode_strings(strings, max_len: int | None = None):
+class _ScratchPool:
+    """Per-process scratch buffers reused across Arrow batches.
+
+    Spark python workers are long-lived and single-threaded (one task at a
+    time per worker process), so a module-level pool is safe and means the
+    kernel's working set is faulted in ONCE per worker instead of being
+    mmap/munmap-cycled per batch — glibc returns >128 KB frees to the OS, so
+    without the pool every batch re-faults fresh pages (measured 10-100x
+    slower than steady state under host memory throttling, and the fault
+    path anti-scales with cores because the host serializes it).
+    """
+
+    def __init__(self) -> None:
+        self._bufs: dict = {}
+
+    def get(self, name: str, shape: tuple, dtype) -> np.ndarray:
+        need = 1
+        for s in shape:
+            need *= int(s)
+        key = (name, np.dtype(dtype).str)
+        buf = self._bufs.get(key)
+        if buf is None or buf.size < need:
+            cap = max(need, 1)
+            if buf is not None:  # grow geometrically: few reallocations
+                cap = max(cap, buf.size * 2)
+            buf = np.empty(cap, dtype=dtype)
+            self._bufs[key] = buf
+        return buf[:need].reshape(shape)
+
+
+_SCRATCH = _ScratchPool()
+
+
+def encode_strings(strings, max_len: int | None = None, scratch_key: str | None = None):
     """Encode a sequence of python strings into a (batch, L) uint32 codepoint
     matrix (padded with a sentinel) plus an int32 length vector.
 
     This is the per-batch columnarization step — the analog of the
     reference's ``CharUnit`` decode (``dictionary/char_unit.rs``), done once
-    per Arrow batch instead of once per trie edge.
+    per Arrow batch instead of once per trie edge.  With ``scratch_key`` the
+    codepoint matrix lands in a pooled buffer (see :class:`_ScratchPool`);
+    the returned array is then only valid until the next call with the same
+    key.
     """
     n_rows = len(strings)
     if n_rows == 0:
@@ -72,9 +108,19 @@ def encode_strings(strings, max_len: int | None = None):
     if max_len is not None and max_len > L:
         arr = arr.astype(f"U{max_len}")
         L = max_len
-    mat = arr.view(np.uint32).reshape(n_rows, L).copy()
-    lengths = (mat != 0).astype(np.int32).sum(axis=1, dtype=np.int32)
-    mat[mat == 0] = _PAD
+    view = arr.view(np.uint32).reshape(n_rows, L)
+    if scratch_key is None:
+        mat = view.copy()
+    else:
+        mat = _SCRATCH.get(scratch_key, (n_rows, L), np.uint32)
+        np.copyto(mat, view)
+    lengths = np.count_nonzero(mat, axis=1).astype(np.int32)
+    zb = _SCRATCH.get("enc_zero", (n_rows, L), bool) if scratch_key else None
+    if zb is None:
+        mat[mat == 0] = _PAD
+    else:
+        np.equal(mat, 0, out=zb)
+        np.copyto(mat, _PAD, where=zb)
     return mat, lengths
 
 
@@ -99,8 +145,8 @@ def batch_distance(
     if variant not in (STANDARD, TRANSPOSITION, MERGE_AND_SPLIT):
         raise ValueError(f"unknown variant: {variant!r}")
 
-    Q, qlen = encode_strings(queries)
-    T, tlen = encode_strings(terms)
+    Q, qlen = encode_strings(queries, scratch_key="enc_q")
+    T, tlen = encode_strings(terms, scratch_key="enc_t")
     batch = Q.shape[0]
     if batch == 0:
         return np.empty(0, dtype=np.int32)
@@ -121,37 +167,58 @@ def batch_distance(
             )
         )
 
-    def char_eq(qc: np.ndarray, tc: np.ndarray) -> np.ndarray:
-        """(batch,) query chars vs (batch, W) term-char block."""
-        eq = (tc == qc[:, None]) & (tc != _PAD) & (qc[:, None] != _PAD)
+    def char_eq_into(qc: np.ndarray, tc: np.ndarray, eq: np.ndarray, tb: np.ndarray):
+        """(batch,) query chars vs (batch, W) term-char block, into ``eq``."""
+        np.equal(tc, qc[:, None], out=eq)
+        np.not_equal(tc, _PAD, out=tb)
+        eq &= tb
+        eq &= (qc != _PAD)[:, None]
         if subs_codes is not None:
             codes = (qc.astype(np.int64)[:, None] << 21) | tc.astype(np.int64)
             idx = np.searchsorted(subs_codes, codes)
             allowed = (idx < subs_codes.size) & (
                 subs_codes[np.clip(idx, 0, subs_codes.size - 1)] == codes
             )
-            eq |= allowed & (tc != _PAD) & (qc[:, None] != _PAD)
-        return eq
+            allowed &= tb
+            allowed &= (qc != _PAD)[:, None]
+            eq |= allowed
 
     # Left-pad T so the per-row (batch, W) term-char block is a plain slice:
     # row i covers term indices jc = i-1-n .. i-1+n; with pad P the slice is
     # T_pad[:, i-1-n+P : i-1+n+1+P], always in range for i >= 0.
     P = n + 2
-    T_pad = np.full((batch, T.shape[1] + P + W + 2), _PAD, dtype=np.uint32)
+    T_pad = _SCRATCH.get("tpad", (batch, T.shape[1] + P + W + 2), np.uint32)
+    T_pad.fill(_PAD)
     T_pad[:, P : P + T.shape[1]] = T
 
     # absolute term column j per band cell k, row i:  j = i + (k - n)
     k_off = np.arange(W, dtype=np.int32) - n  # (W,)
 
-    # rows: prev (i-1), two_ago (i-2), curr (i); each (batch, W), capped at INF
-    two_ago = np.full((batch, W), INF, dtype=np.int16)
-    prev = np.full((batch, W), INF, dtype=np.int16)
+    # rows: prev (i-1), two_ago (i-2), curr (i); each (batch, W), capped at
+    # INF — three rotating scratch buffers plus per-iteration work arrays,
+    # all pooled (see _ScratchPool: faulted once per worker, zero per-batch
+    # allocation in the hot loop)
+    sh = (batch, W)
+    two_ago = _SCRATCH.get("rowA", sh, np.int16)
+    prev = _SCRATCH.get("rowB", sh, np.int16)
+    curr = _SCRATCH.get("rowC", sh, np.int16)
+    best = _SCRATCH.get("best", sh, np.int16)
+    tmp = _SCRATCH.get("tmp", sh, np.int16)
+    cost = _SCRATCH.get("cost", sh, np.int16)
+    eqb = _SCRATCH.get("eq", sh, bool)
+    tmpb = _SCRATCH.get("tmpb", sh, bool)
+    validb = _SCRATCH.get("valid", sh, bool)
+    swapb = _SCRATCH.get("swap", sh, bool) if variant == TRANSPOSITION else None
+    run = _SCRATCH.get("run", (batch,), np.int16)
+    two_ago.fill(INF)
+    prev.fill(INF)
     # Row 0: D[0][j] = j for 0 <= j <= n → k in [n, 2n]
     for k in range(n, W):
         prev[:, k] = k - n
 
     # result capture
-    out_row = np.full((batch, W), INF, dtype=np.int16)  # band row at i = qlen
+    out_row = _SCRATCH.get("out_row", sh, np.int16)  # band row at i = qlen
+    out_row.fill(INF)
     done0 = qlen == 0
     if done0.any():
         out_row[done0] = prev[done0]
@@ -171,58 +238,68 @@ def batch_distance(
         row_active = qlen >= i
         j_abs = i + k_off  # (W,) absolute term column per band cell
         # cell validity: row active, 0 <= j <= tlen (j == 0 handled below)
-        cell_valid = row_active[:, None] & (j_abs[None, :] >= 1) & (
-            j_abs[None, :] <= tlen[:, None]
-        )
+        validb[:] = row_active[:, None]
+        validb &= (j_abs >= 1)[None, :]
+        np.less_equal(j_abs[None, :], tlen[:, None], out=tmpb)
+        validb &= tmpb
         # term chars b[j-1] for the whole band row as one slice
         tc = T_pad[:, i - 1 - n + P : i - 1 + n + 1 + P]
-        eq = char_eq(qc, tc)
-        cost = np.where(eq, np.int16(0), ones)
+        char_eq_into(qc, tc, eqb, tmpb)
+        np.subtract(ones, eqb, out=cost, casting="unsafe")
         # diag D[i-1][j-1] (same k) and insert D[i-1][j] (k+1), both from prev
-        best = np.minimum(prev + cost, INF)
-        best[:, :-1] = np.minimum(best[:, :-1], np.minimum(prev[:, 1:] + ones, INF))
+        np.add(prev, cost, out=best)
+        np.minimum(best, INF, out=best)
+        np.add(prev[:, 1:], ones, out=tmp[:, :-1])
+        np.minimum(tmp[:, :-1], INF, out=tmp[:, :-1])
+        np.minimum(best[:, :-1], tmp[:, :-1], out=best[:, :-1])
         if variant == TRANSPOSITION and i >= 2:
             qprev = Q[:, i - 2]
             tprev = T_pad[:, i - 2 - n + P : i - 2 + n + 1 + P]  # b[j-2]
-            swap = (
-                (tprev == qc[:, None])
-                & (tc == qprev[:, None])
-                & (tc != _PAD)
-                & (tprev != _PAD)
-            )
+            np.equal(tprev, qc[:, None], out=swapb)
+            np.equal(tc, qprev[:, None], out=tmpb)
+            swapb &= tmpb
+            np.not_equal(tc, _PAD, out=tmpb)
+            swapb &= tmpb
+            np.not_equal(tprev, _PAD, out=tmpb)
+            swapb &= tmpb
             # D[i-2][j-2]: two_ago at the same k
-            cand = np.minimum(two_ago + ones, INF)
-            best = np.where(swap, np.minimum(best, cand), best)
+            np.add(two_ago, ones, out=tmp)
+            np.minimum(tmp, INF, out=tmp)
+            np.minimum(best, tmp, out=best, where=swapb)
         if variant == MERGE_AND_SPLIT:
             if i >= 2:
                 # merge D[i-2][j-1] → two_ago at k+1
-                best[:, :-1] = np.minimum(
-                    best[:, :-1], np.minimum(two_ago[:, 1:] + ones, INF)
-                )
+                np.add(two_ago[:, 1:], ones, out=tmp[:, :-1])
+                np.minimum(tmp[:, :-1], INF, out=tmp[:, :-1])
+                np.minimum(best[:, :-1], tmp[:, :-1], out=best[:, :-1])
             # split D[i-1][j-2] → prev at k-1
-            best[:, 1:] = np.minimum(
-                best[:, 1:], np.minimum(prev[:, :-1] + ones, INF)
-            )
-        best = np.where(cell_valid, best, INF)
+            np.add(prev[:, :-1], ones, out=tmp[:, 1:])
+            np.minimum(tmp[:, 1:], INF, out=tmp[:, 1:])
+            np.minimum(best[:, 1:], tmp[:, 1:], out=best[:, 1:])
+        np.logical_not(validb, out=tmpb)
+        np.copyto(best, INF, where=tmpb)
         # j == 0 boundary: D[i][0] = i at k = n - i (a deletion-chain source)
         if i <= n:
             best[row_active, n - i] = np.int16(i)
         # deletion D[i][j-1] → curr at k-1: prefix-min scan along k
-        run = best[:, 0].copy()
-        curr = np.empty_like(best)
-        curr[:, 0] = run
+        curr[:, 0] = best[:, 0]
         for k in range(1, W):
-            run = np.minimum(best[:, k], np.minimum(run + ones, INF))
-            curr[:, k] = run
-        curr = np.where(cell_valid | ((j_abs[None, :] == 0) & row_active[:, None]), curr, INF)
-        two_ago, prev = prev, curr
+            np.add(curr[:, k - 1], ones, out=run)
+            np.minimum(run, INF, out=run)
+            np.minimum(best[:, k], run, out=curr[:, k])
+        # keep curr only at valid cells or the j == 0 boundary column
+        np.logical_and(row_active[:, None], (j_abs == 0)[None, :], out=tmpb)
+        validb |= tmpb
+        np.logical_not(validb, out=tmpb)
+        np.copyto(curr, INF, where=tmpb)
+        two_ago, prev, curr = prev, curr, two_ago
         hit = qlen == i
         if hit.any():
-            out_row[hit] = curr[hit]
+            out_row[hit] = prev[hit]
         if substring_mode:
             ki = tlen - i + n
             valid = (ki >= 0) & (ki < W) & (qlen >= i)
-            rr = np.where(valid, curr[col_idx, np.clip(ki, 0, W - 1)], INF)
+            rr = np.where(valid, prev[col_idx, np.clip(ki, 0, W - 1)], INF)
             sub_min = np.minimum(sub_min, rr.astype(np.int16))
 
     # extract answers

@@ -169,6 +169,88 @@ def candidate_doc_pairs(
     return pairs
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the north star's second key family):
+    total-order rows by ``(key, id)``, pair every row with its ``window - 1``
+    successors.  Output: canonical distinct (left_id, right_id).
+
+    Scale design — no single-partition global sort:
+
+    1. ``repartitionByRange(key, id)`` + ``sortWithinPartitions`` gives a
+       range-partitioned total order (partition ids ascend with key ranges).
+    2. Global rank = per-partition ``row_number`` + partition offset; the
+       offsets come from one tiny per-partition count (``num_partitions``
+       rows to the driver — bounded, not data-sized).
+    3. Window pairing is a plain **equi-join on shifted rank** (each row
+       explodes to ranks ``rn+1 .. rn+w-1``): shuffle-friendly, no range
+       join, fan-out exactly ``w - 1`` per row.
+
+    The reference analog is ordered dictionary iteration
+    (``/root/reference/src/dictionary/iterator.rs``) over the sorted term
+    universe; the sorted-neighborhood method turns that order into bounded
+    candidate windows.
+    """
+    from pyspark.sql import Window
+
+    if window < 2:
+        raise ValueError("sorted-neighborhood window must be >= 2")
+    spark = df.sparkSession
+    base = (
+        df.select(F.col(id_col).alias("_id"), F.col(key_col).alias("_k"))
+        .where(F.col("_id").isNotNull())
+        .dropDuplicates(["_id"])
+    )
+    if num_partitions is None:
+        # size to the data like the CC fixpoint: ~100k rows per partition,
+        # capped at the session shuffle parallelism
+        n_rows = base.count()
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        num_partitions = max(1, min(cap, n_rows // 100_000 + 1))
+    p = (
+        base.repartitionByRange(num_partitions, "_k", "_id")
+        .sortWithinPartitions("_k", "_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    cnts = {
+        r["_pid"]: r["c"]
+        for r in p.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    offs, acc = [], 0
+    for pid in range(num_partitions):
+        offs.append((pid, acc))
+        acc += cnts.get(pid, 0)
+    off_df = spark.createDataFrame(offs, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy("_k", "_id")
+    ranked = (
+        p.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .select("_id", "_k", (F.col("_lrn") + F.col("_off")).alias("_rn"))
+    )
+    left = ranked.select(
+        F.col("_id").alias("_lid"),
+        F.explode(
+            F.sequence(F.col("_rn") + 1, F.col("_rn") + (window - 1))
+        ).alias("_rn2"),
+    )
+    right = ranked.select(F.col("_id").alias("_rid"), F.col("_rn").alias("_rn2"))
+    return (
+        left.join(right, "_rn2")
+        .select(
+            F.least("_lid", "_rid").alias("left_id"),
+            F.greatest("_lid", "_rid").alias("right_id"),
+        )
+        .where(F.col("left_id") != F.col("right_id"))
+        .distinct()
+    )
+
+
 def hot_key_stats(keyed: DataFrame, hot_threshold: int = 200) -> DataFrame:
     """Keys excluded by the skew guard, with their fan-out — the 'logged
     truncation' record persisted by the pipeline's metrics stage."""

@@ -244,3 +244,43 @@ def test_docs_with_media_features_join(spark, media_docs):
     n_refs = multimodal.extract_media_refs(media_docs).count()
     assert out.count() == n_refs
     assert set(out.columns) == {"media_ref", "doc_id", "offset", "n_bytes", "feature"}
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_pairs_matches_global_window(spark):
+    """Distributed two-phase rank == naive single-window semantics, exercised
+    across multiple range partitions (offsets must chain correctly)."""
+    from liblevenshtein_rust_spark.operators import blocking
+
+    ids = [f"t{i:03d}" for i in range(47)]
+    import random
+
+    rng = random.Random(13)
+    keys = ["".join(rng.choice("abcde") for _ in range(4)) for _ in ids]
+    df = spark.createDataFrame(list(zip(ids, keys)), "id string, key string")
+    w = 4
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in blocking.sorted_neighborhood_pairs(
+            df, "key", "id", window=w, num_partitions=5
+        ).collect()
+    }
+    order = sorted(zip(keys, ids))
+    want = set()
+    for i in range(len(order)):
+        for j in range(i + 1, min(i + w, len(order))):
+            a, b = order[i][1], order[j][1]
+            want.add((min(a, b), max(a, b)))
+    assert got == want
+
+
+def test_sorted_neighborhood_window_validation(spark):
+    from liblevenshtein_rust_spark.operators import blocking
+
+    df = spark.createDataFrame([("a", "k")], "id string, key string")
+    with pytest.raises(ValueError):
+        blocking.sorted_neighborhood_pairs(df, "key", "id", window=1)
