@@ -127,9 +127,11 @@ OCR_PROBES = ["c0lumn", "5mall", "5park", "filt3r", "merge", "zzzzzz"]
 
 
 def q_fuzzy_query_merge_split_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merge-and-split variant (``distance/mod.rs:624``): no SQL oracle
-    exists (not expressible without recursion) — correctness is pinned by
-    the kernel cross-validation suite; the driver records rows-only."""
+    """Merge-and-split variant (``distance/mod.rs:624``).  The oracle runs
+    the full DP as a recursive CTE (one iteration per query char, DP rows
+    carried as lists; the in-row insertion dependency resolved by the
+    prefix-min-with-slope transform) — cross-checked cell-exact against the
+    Python DP, on top of the kernel cross-validation suite."""
     from liblevenshtein_rust_spark.kernel.distances import MERGE_AND_SPLIT
 
     return matching.fuzzy_query(
@@ -782,6 +784,43 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY query ORDER BY distance, term) AS rk
                 FROM scored
             ) WHERE rk <= 3
+        """,
+        # Full merge-and-split DP as a recursive CTE: one iteration per query
+        # char; each working row carries DP rows i and i-1 as 1-based lists.
+        # Insertion's in-row dependency is eliminated by the prefix-min-with-
+        # slope transform: d[i][j] = min_{k<=j}(pre[i][k] + (j-k)) where pre
+        # excludes insertions.  Recurrence per kernel/distances.py:74
+        # (delete, insert, sub/match, merge D[i-2][j-1]+1, split D[i-1][j-2]+1).
+        "fuzzy_query_merge_split_d2": f"""
+            WITH RECURSIVE {toks},
+            pairs AS (
+                SELECT p.query AS q, t.term AS t FROM probes p, toks t
+                WHERE abs(length(p.query) - length(t.term)) <= 2
+            ),
+            dp AS (
+                SELECT q, t, 0 AS i,
+                       list_transform(generate_series(0, length(t)), j -> j) AS curr,
+                       NULL::BIGINT[] AS prev
+                FROM pairs
+                UNION ALL
+                SELECT q, t, i + 1,
+                       list_transform(generate_series(0, length(t)), j ->
+                           list_min(list_transform(generate_series(0, j), k ->
+                               (CASE WHEN k = 0 THEN curr[1] + 1
+                                     ELSE least(
+                                         curr[k + 1] + 1,
+                                         curr[k] + CASE WHEN substr(q, i + 1, 1) = substr(t, k, 1)
+                                                   THEN 0 ELSE 1 END,
+                                         COALESCE(prev[k] + 1, 99),
+                                         CASE WHEN k >= 2 THEN curr[k - 1] + 1 ELSE 99 END)
+                                END) + (j - k)))
+                       ) AS curr,
+                       curr AS prev
+                FROM dp WHERE i < length(q)
+            )
+            SELECT q AS query, t AS term, curr[length(t) + 1]::INT AS distance
+            FROM dp
+            WHERE i = length(q) AND curr[length(t) + 1] <= 2
         """,
         "fuzzy_query_transposition_d1": f"""
             WITH {toks}

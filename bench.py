@@ -47,7 +47,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_PAIRS", "24000000"))
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "250000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "150000"))
+SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPS", "2"))
 
 
 def _fresh_spark(cores: int):
@@ -152,10 +153,24 @@ def _score_job(spark, cores: int, limit: int | None = None) -> tuple[float, int]
     return time.time() - t0, n
 
 
+def host_probe() -> float:
+    """First-touch page-fault bandwidth in MB/s — the sandbox host
+    intermittently throttles fresh-page faults to ~10 MB/s (normal: >2000)
+    and the swings are larger than any code effect.  Recorded with every
+    scaling sample so degraded windows are visible in the output."""
+    import numpy as np
+
+    a = np.empty(12_500_000, dtype=np.float64)  # 100 MB untouched
+    t0 = time.time()
+    a.fill(1.0)
+    return round(100.0 / max(time.time() - t0, 1e-9), 1)
+
+
 def scale_worker(cores: int) -> None:
     """Subprocess entry: emulate a `cores`-core cluster by pinning affinity
     BEFORE the JVM starts (inherited by executor threads + Python workers),
     then run the two scaling jobs and print one JSON line."""
+    probe = host_probe()
     os.sched_setaffinity(0, set(range(cores)))
     spark = _fresh_spark(cores)
     globals()["CPUS"] = cores  # partition counts follow the cluster size
@@ -188,6 +203,8 @@ def scale_worker(cores: int) -> None:
         json.dumps(
             {
                 "cores": cores,
+                "host_probe_mb_s": probe,
+                "host_probe_after_mb_s": host_probe(),
                 "score_wall_s": round(t, 3),
                 "score_wall_cold_s": round(t_cold, 3),
                 "er_wall_s": er["wall_s"],
@@ -239,13 +256,39 @@ def main() -> None:
 
     if DO_SCALING:
         low = max(CPUS // 4, 1)
-        lo = _run_worker("--scale-worker", str(low))
-        hi = _run_worker("--scale-worker", str(CPUS))
         ratio = CPUS / low
+        # The sandbox host throttles first-touch page faults in windows of
+        # minutes (host_probe: ~10 MB/s throttled vs >2000 normal) — larger
+        # swings than any scaling effect.  ALTERNATE the two cluster sizes
+        # over SCALE_REPS repetitions and take the per-size MINIMUM: min is
+        # the estimator closest to an unthrottled host, and alternation
+        # ensures both sizes sample comparable windows.  Every sample and
+        # its host probes are reported so degraded windows stay visible.
+        samples: dict[int, list] = {low: [], CPUS: []}
+        for _rep in range(SCALE_REPS):
+            for cores in (low, CPUS):
+                samples[cores].append(_run_worker("--scale-worker", str(cores)))
+        lo = min(samples[low], key=lambda s: s["score_wall_s"])
+        hi = min(samples[CPUS], key=lambda s: s["score_wall_s"])
+        lo_er = min(s["er_wall_s"] for s in samples[low])
+        hi_er = min(s["er_wall_s"] for s in samples[CPUS])
         result["scaling"] = {
             "cores_low": low,
             "cores_high": CPUS,
             "affinity_pinned": True,
+            "reps": SCALE_REPS,
+            "aggregation": "per-size min over alternated reps (host-noise robust)",
+            "samples": [
+                {
+                    "cores": s["cores"],
+                    "score_wall_s": s["score_wall_s"],
+                    "er_wall_s": s["er_wall_s"],
+                    "host_probe_mb_s": s.get("host_probe_mb_s"),
+                    "host_probe_after_mb_s": s.get("host_probe_after_mb_s"),
+                }
+                for c in (low, CPUS)
+                for s in samples[c]
+            ],
             "score_job": {
                 "pairs": SCALE_PAIRS,
                 "low_wall_s": lo["score_wall_s"],
@@ -258,9 +301,9 @@ def main() -> None:
             },
             "er_pipeline": {
                 "n_docs": SCALE_DOCS,
-                "low_wall_s": lo["er_wall_s"],
-                "high_wall_s": hi["er_wall_s"],
-                "efficiency": round((lo["er_wall_s"] / hi["er_wall_s"]) / ratio, 3),
+                "low_wall_s": lo_er,
+                "high_wall_s": hi_er,
+                "efficiency": round((lo_er / hi_er) / ratio, 3),
                 "low_stage_wall_s": lo.get("er_stage_wall_s"),
                 "high_stage_wall_s": hi.get("er_stage_wall_s"),
             },
