@@ -77,6 +77,12 @@ def vocab_token_matches(
         "token",
         F.explode(deletion_neighborhood_keys(F.col("token"), n=max(n, 1))).alias("key"),
     )
+    # Hash the string keys to 8-byte longs before the shuffle-heavy part:
+    # halves exchange bytes and join hashing cost.  Safe over-approximation —
+    # a hash collision can only ADD candidate pairs (kernel rejects them; at
+    # ~2^-44 collision odds per key pair the extra work is nil), never drop
+    # one, so the deletion-blocking completeness guarantee is untouched.
+    keyed = keyed.select("token", F.xxhash64("key").alias("key"))
     # The exploded key table feeds three consumers (hot count, cold filter,
     # self-join sides); without persisting, the O(len^2)-per-token deletion
     # expression is recomputed for each — persist once, reuse everywhere.
@@ -95,27 +101,47 @@ def vocab_token_matches(
     #   extreme (> extreme_key_threshold)    → dropped with logged stats (a
     #             key shared by 10^5+ tokens carries no pair-level signal
     #             and its pair count is quadratically catastrophic)
-    hot = counts.where(
-        (F.col("n_toks") > cfg.hot_key_threshold)
-        & (F.col("n_toks") <= cfg.extreme_key_threshold)
-    ).select("key")
-    extreme = counts.where(F.col("n_toks") > cfg.extreme_key_threshold).select("key")
+    band = counts.agg(
+        F.coalesce(
+            F.sum((F.col("n_toks") > cfg.hot_key_threshold).cast("long")), F.lit(0)
+        ).alias("hx")
+    ).first()
+    n_hot_or_extreme = int(band["hx"])
     if hot_stats is not None:
-        row = counts.agg(
-            F.sum((F.col("n_toks") > cfg.hot_key_threshold).cast("long")).alias("hx")
-        ).first()
-        hot_stats.append(int(row["hx"] or 0))
-    # Broadcast the HOT/EXTREME sides (small by construction) and anti-join:
-    # the cold side is nearly the whole key table — broadcasting it would
-    # serialize a multi-GB hash build on the driver (measured: the stage
-    # went flat at any core count until this was inverted).
-    k = keyed.join(F.broadcast(extreme), "key", "left_anti")
+        hot_stats.append(n_hot_or_extreme)
 
-    from ..plans.rewrites import salted_self_join_pairs
+    if n_hot_or_extreme == 0:
+        # Data-adaptive fast path: the pre-count proved there is no skew
+        # band, so the salting machinery (broadcast anti-join, hot-marker
+        # join, triangle union) would be three extra passes over the key
+        # table for nothing.  The skewed path stays fully exercised by the
+        # hot-key fixtures and tests.
+        cl = keyed.select("key", F.col("token").alias("left_id"))
+        cr = keyed.select("key", F.col("token").alias("right_id"))
+        raw = cl.join(cr, "key").where(F.col("left_id") < F.col("right_id"))
+    else:
+        hot = counts.where(
+            (F.col("n_toks") > cfg.hot_key_threshold)
+            & (F.col("n_toks") <= cfg.extreme_key_threshold)
+        ).select("key")
+        extreme = counts.where(
+            F.col("n_toks") > cfg.extreme_key_threshold
+        ).select("key")
+        # Broadcast the HOT/EXTREME sides (small by construction) and
+        # anti-join: the cold side is nearly the whole key table —
+        # broadcasting it would serialize a multi-GB hash build on the
+        # driver (measured: the stage went flat at any core count until
+        # this was inverted).
+        k = keyed.join(F.broadcast(extreme), "key", "left_anti")
+
+        from ..plans.rewrites import salted_self_join_pairs
+
+        raw = salted_self_join_pairs(
+            k, hot, n_salt=cfg.n_salt, key_col="key", id_col="token"
+        )
 
     pairs = (
-        salted_self_join_pairs(k, hot, n_salt=cfg.n_salt, key_col="key", id_col="token")
-        .select(F.col("left_id").alias("tok_a"), F.col("right_id").alias("tok_b"))
+        raw.select(F.col("left_id").alias("tok_a"), F.col("right_id").alias("tok_b"))
         .distinct()
         .where(length_prefilter(F.col("tok_a"), F.col("tok_b"), cfg.max_distance))
     )

@@ -68,3 +68,35 @@ def test_canonicalize_pairs(spark):
     )
     out = sorted((r["x"], r["y"]) for r in rewrites.canonicalize_pairs(df, "x", "y").collect())
     assert out == [("a", "b"), ("c", "d")]
+
+
+def test_vocab_token_matches_salted_band_equals_fast_path(spark):
+    """vocab_token_matches must produce the same scored pair set whether the
+    skew pre-count routes it down the fast path (no hot keys) or the salted
+    band (hot_key_threshold forced tiny) — salting is pair-set-preserving
+    end-to-end, not just in the rewrite unit test."""
+    from liblevenshtein_rust_spark.pipeline import er
+
+    toks = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["batch", "bacth", "battch", "join", "jion", "joins",
+             "merge", "mrege", "spark", "spork", "sparc", "window"]
+        )],
+        "doc_id long, token string",
+    )
+    base = er.ERConfig(max_df=100)
+    hotcfg = er.ERConfig(max_df=100, hot_key_threshold=1, extreme_key_threshold=10**9, n_salt=3)
+
+    def result(cfg):
+        stats: list = []
+        out = er.vocab_token_matches(toks, cfg, stats)
+        rows = sorted(
+            (r["tok_a"], r["tok_b"], r["distance"]) for r in out.collect()
+        )
+        return rows, stats[0]
+
+    fast_rows, fast_hot = result(base)
+    salted_rows, salted_hot = result(hotcfg)
+    assert fast_hot == 0            # fast path taken
+    assert salted_hot > 0           # salted band actually exercised
+    assert salted_rows == fast_rows
