@@ -907,11 +907,20 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CORPUS_CTE},
             {_SHINGLES_CTE.format(src="corpus")},
             nonempty AS (SELECT * FROM shing WHERE len(sh) > 0),
-            sig AS (
-                SELECT doc_id, sh,
-                       [list_sort([md5(s || ':' || CAST(i AS VARCHAR)) FOR s IN sh])[1]
-                        FOR i IN generate_series(0, 15)] AS sig
+            -- Carter-Wegman double hashing, mirroring the engine: one md5
+            -- per shingle, h1/h2 = 56-bit halves, i-th hash = h1 + i*h2
+            hx AS (
+                SELECT doc_id,
+                       [{{'h1': ('0x' || substr(md5(s), 1, 14))::BIGINT,
+                          'h2': ('0x' || substr(md5(s), 17, 14))::BIGINT}}
+                        FOR s IN sh] AS hs
                 FROM nonempty
+            ),
+            sig AS (
+                SELECT doc_id,
+                       [list_min([h['h1'] + i * h['h2'] FOR h IN hs])
+                        FOR i IN generate_series(0, 15)] AS sig
+                FROM hx
             ),
             banded AS (
                 SELECT doc_id, b,

@@ -189,17 +189,29 @@ def minhash_lsh_pairs(
     """
     rows = num_hashes // bands
     base = _shingle_base(docs, text_col, id_col, k)
-    # signature via explode + 16 min-aggregates: identical values to
-    # minhash_signature's array form, but fully whole-stage-codegen'd
-    # (array HOFs run interpreted and were ~10x slower per batch)
+    # Signature via explode + 16 min-aggregates (whole-stage codegen; array
+    # HOFs run interpreted and were ~10x slower), with Carter-Wegman double
+    # hashing: ONE md5 per shingle split into two 56-bit halves h1/h2, the
+    # i-th hash = h1 + i*h2 (bounded by 17*2^56 < 2^61 — no int64 overflow).
+    # 16x fewer md5 evaluations than hashing per-permutation, and integer
+    # min-aggregates beat string mins.  The DuckDB oracle replays the same
+    # construction via ('0x' || substr(md5, ...))::BIGINT.
     ex0 = base.select("id", F.explode("sh").alias("g"))
-    sig = ex0.groupBy("id").agg(
+    hx = ex0.select(
+        "id",
+        F.conv(F.substring(F.md5("g"), 1, 14), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("g"), 17, 14), 16, 10).cast("long").alias("h2"),
+    )
+    sig = hx.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.col("g"), F.lit(f":{i}")))).alias(f"_h{i}")
+            F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"_h{i}")
             for i in range(num_hashes)
         ]
     ).select(
-        "id", F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig")
+        "id",
+        F.array(
+            *[F.col(f"_h{i}").cast("string") for i in range(num_hashes)]
+        ).alias("sig"),
     )
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
