@@ -293,16 +293,31 @@ def main() -> None:
                 s = _run_worker("--scale-worker", str(cores))
                 s["host_probe_at_launch_mb_s"] = probe_at_launch
                 samples[cores].append(s)
+
+        # Best-observed estimator: every worker runs each job TWICE at full
+        # size on the same input (cold + steady), and throttle windows can
+        # flip mid-worker in either direction (observed: a steady ER pass
+        # 3x slower than its own cold pass).  The minimum over all full-size
+        # passes of a given (job, size) is the closest observation to an
+        # unthrottled host; all samples stay in the report.
+        def best(cores: int, key: str, cold_key: str) -> float:
+            return min(
+                min(s[key], s.get(cold_key) or s[key]) for s in samples[cores]
+            )
+
+        lo_score = best(low, "score_wall_s", "score_wall_cold_s")
+        hi_score = best(CPUS, "score_wall_s", "score_wall_cold_s")
+        lo_er = best(low, "er_wall_s", "er_wall_cold_s")
+        hi_er = best(CPUS, "er_wall_s", "er_wall_cold_s")
         lo = min(samples[low], key=lambda s: s["score_wall_s"])
         hi = min(samples[CPUS], key=lambda s: s["score_wall_s"])
-        lo_er = min(s["er_wall_s"] for s in samples[low])
-        hi_er = min(s["er_wall_s"] for s in samples[CPUS])
         result["scaling"] = {
             "cores_low": low,
             "cores_high": CPUS,
             "affinity_pinned": True,
             "reps": SCALE_REPS,
-            "aggregation": "per-size min over alternated reps (host-noise robust)",
+            "aggregation": "per-size min over all full-size passes "
+            "(cold+steady, alternated reps — host-noise robust)",
             "samples": [
                 {
                     "cores": s["cores"],
@@ -318,24 +333,16 @@ def main() -> None:
             ],
             "score_job": {
                 "pairs": SCALE_PAIRS,
-                "low_wall_s": lo["score_wall_s"],
-                "high_wall_s": hi["score_wall_s"],
-                "low_wall_cold_s": lo.get("score_wall_cold_s"),
-                "high_wall_cold_s": hi.get("score_wall_cold_s"),
-                "low_pairs_per_sec": round(SCALE_PAIRS / lo["score_wall_s"]),
-                "high_pairs_per_sec": round(SCALE_PAIRS / hi["score_wall_s"]),
-                "efficiency": round((lo["score_wall_s"] / hi["score_wall_s"]) / ratio, 3),
+                "low_wall_s": lo_score,
+                "high_wall_s": hi_score,
+                "low_pairs_per_sec": round(SCALE_PAIRS / lo_score),
+                "high_pairs_per_sec": round(SCALE_PAIRS / hi_score),
+                "efficiency": round((lo_score / hi_score) / ratio, 3),
             },
             "er_pipeline": {
                 "n_docs": SCALE_DOCS,
                 "low_wall_s": lo_er,
                 "high_wall_s": hi_er,
-                "low_wall_cold_s": min(
-                    s.get("er_wall_cold_s") or s["er_wall_s"] for s in samples[low]
-                ),
-                "high_wall_cold_s": min(
-                    s.get("er_wall_cold_s") or s["er_wall_s"] for s in samples[CPUS]
-                ),
                 "efficiency": round((lo_er / hi_er) / ratio, 3),
                 "low_stage_wall_s": lo.get("er_stage_wall_s"),
                 "high_stage_wall_s": hi.get("er_stage_wall_s"),
