@@ -165,7 +165,9 @@ def q_exact_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fuzzy_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FuzzyMultiMap::query — fuzzy key match + value-set aggregation."""
+    """FuzzyMultiMap::query — fuzzy key match + value-set aggregation.  The
+    unioned value *collection* (CollectionAggregate parity) is emitted as a
+    sorted comma-joined string so the driver's canonicalizer can hash it."""
     out = matching.fuzzy_multimap_query(
         _probes_df(spark), _doc_token_map(spark, sf_dir), 1, STANDARD,
         value_col="doc_id",
@@ -176,6 +178,9 @@ def q_fuzzy_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_value").cast("bigint").alias("min_value"),
         F.col("max_value").cast("bigint").alias("max_value"),
         F.col("n_terms").cast("bigint").alias("n_terms"),
+        F.concat_ws(
+            ",", F.transform(F.col("values"), lambda v: v.cast("string"))
+        ).alias("values"),
     )
 
 
@@ -302,6 +307,26 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tables.embeddings(spark, sf_dir).where(F.col("vec_id") < 1000)
     out = dedup.embedding_near_pairs(emb, threshold=0.35)
+    return out.select(
+        F.col("left_id").cast("bigint").alias("left_id"),
+        F.col("right_id").cast("bigint").alias("right_id"),
+        "cos",
+    )
+
+
+def q_lsh_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup SCALE path: random-hyperplane LSH buckets + exact
+    cosine verify (``operators/dedup.lsh_embedding_near_pairs``).  The
+    hyperplanes are md5-seeded constants, so the oracle replays the exact
+    same bucketing with the sign matrix inlined as literals — precision is
+    exact and the bucket assignment deterministic, so the oracle match is
+    value-exact (recall vs brute force is separately asserted in tests)."""
+    from liblevenshtein_rust_spark.operators import dedup
+
+    emb = tables.embeddings(spark, sf_dir).where(F.col("vec_id") < 1000)
+    out = dedup.lsh_embedding_near_pairs(
+        emb, dim=64, n_planes=4, threshold=0.35
+    )
     return out.select(
         F.col("left_id").cast("bigint").alias("left_id"),
         F.col("right_id").cast("bigint").alias("right_id"),
@@ -541,19 +566,27 @@ def q_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction over the derived interleaved table:
     distinct media refs → ``mapInPandas`` decode-stub (SHA-256 squeeze,
-    ``operators/multimodal._decode_stub``) → 16-dim feature vector.  The
-    stub is deterministic, so the oracle replays the byte derivation in SQL;
-    features are rounded to 3 decimals (float32 error ~6e-8 vs a >=2.8e-7
-    gap to any rounding boundary for S/1785-rational values, so rounding is
-    exact on both sides)."""
+    ``operators/multimodal._decode_stub``) → 16-dim feature vector, exploded
+    to one (media_ref, dim, value) row per feature dimension so every column
+    is a hashable scalar (the driver's canonicalizer cannot sort/hash
+    array<double> cells).  The stub is deterministic, so the oracle replays
+    the byte derivation in SQL; features are rounded to 3 decimals (float32
+    error ~6e-8 vs a >=2.8e-7 gap to any rounding boundary for
+    S/1785-rational values, so rounding is exact on both sides)."""
     from liblevenshtein_rust_spark.operators import multimodal
 
     built = _derived_span_docs(spark, sf_dir)
     out = multimodal.media_features(built)
-    return out.select(
+    exploded = out.select(
         "media_ref",
         F.col("n_bytes").cast("int").alias("n_bytes"),
-        F.transform("feature", lambda x: F.round(x.cast("double"), 3)).alias("feature"),
+        F.posexplode(F.col("feature")).alias("dim", "value"),
+    )
+    return exploded.select(
+        "media_ref",
+        "n_bytes",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("value").cast("double"), 3).alias("value"),
     )
 
 
@@ -639,6 +672,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_pairs": q_simhash_near_pairs,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "lsh_embedding_near_pairs": q_lsh_embedding_near_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_ivf": q_ann_topk_ivf,
     "span_roundtrip": q_span_roundtrip,
@@ -755,6 +789,25 @@ _SRC_COUNTS_CTE = """
 )
 """
 
+def _hyperplane_signs_sql(n_planes: int = 4, dim: int = 64) -> list[str]:
+    """Literal DOUBLE[] arrays replaying dedup._hyperplane_sign's md5-seeded
+    sign matrix (sign of plane p, dim d = +1 iff int(md5('p:d')[:4],16)%2==0)
+    — compile-time constants on the Spark side, so inlining them keeps the
+    oracle value-exact."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        signs = [
+            "1.0"
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:4], 16) % 2 == 0
+            else "-1.0"
+            for d in range(dim)
+        ]
+        out.append("[" + ", ".join(signs) + "]::DOUBLE[]")
+    return out
+
+
 _QUALITY_STOPWORDS_SQL = (
     "['the','of','and','a','to','in','is','it','that','for','on','with','as',"
     "'at','by','an','be','this','from','or','are','was','but','not','you',"
@@ -868,7 +921,8 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT tm.doc_id)::BIGINT AS n_values,
                    min(tm.doc_id)::BIGINT AS min_value,
                    max(tm.doc_id)::BIGINT AS max_value,
-                   count(DISTINCT m.term)::BIGINT AS n_terms
+                   count(DISTINCT m.term)::BIGINT AS n_terms,
+                   array_to_string(list_sort(list(DISTINCT tm.doc_id)), ',') AS "values"
             FROM matched m JOIN tokmap tm ON m.term = tm.term
             GROUP BY m.query
         """,
@@ -981,6 +1035,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 1000 AND c.vec_id < 1000
               AND round(list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) >= 0.35
         """,
+        "lsh_embedding_near_pairs": f"""
+            WITH sig AS (
+                SELECT vec_id, embedding,
+                       {" || ".join(
+                           f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {plane}) >= 0 "
+                           "THEN '1' ELSE '0' END)"
+                           for plane in _hyperplane_signs_sql(4, 64)
+                       )} AS bucket
+                FROM embeddings WHERE vec_id < 1000
+            )
+            SELECT left_id, right_id, cos FROM (
+                SELECT a.vec_id::BIGINT AS left_id, b.vec_id::BIGINT AS right_id,
+                       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+                FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ) WHERE cos >= 0.35
+        """,
         "ann_topk_bruteforce": """
             WITH probes AS (
                 SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
@@ -1071,19 +1141,14 @@ def oracle_sql() -> dict[str, str]:
                        [('0x' || substr(sha256(media_ref), 2 * (k % 32) + 1, 2))::INT
                         FOR k IN generate_series(0, 99)] AS b
                 FROM refs
-            ),
-            -- feature j = mean over 7 rows of the zero-padded (112-byte) 16-wide
-            -- reshape, / 255
-            feat AS (
-                SELECT media_ref, j,
-                       round(sum(CASE WHEN 16 * r + j < 100 THEN b[16 * r + j + 1]
-                                      ELSE 0 END) / 7.0 / 255.0, 3) AS f
-                FROM pl, generate_series(0, 15) gj(j), generate_series(0, 6) gr(r)
-                GROUP BY media_ref, j
             )
-            SELECT media_ref, 100::INT AS n_bytes,
-                   list(f ORDER BY j) AS feature
-            FROM feat GROUP BY media_ref
+            -- feature j = mean over 7 rows of the zero-padded (112-byte) 16-wide
+            -- reshape, / 255; one row per (media_ref, dim)
+            SELECT media_ref, 100::INT AS n_bytes, j::INT AS dim,
+                   round(sum(CASE WHEN 16 * r + j < 100 THEN b[16 * r + j + 1]
+                                  ELSE 0 END) / 7.0 / 255.0, 3) AS value
+            FROM pl, generate_series(0, 15) gj(j), generate_series(0, 6) gr(r)
+            GROUP BY media_ref, j
         """,
         "media_frame_sample": """
             WITH media AS (

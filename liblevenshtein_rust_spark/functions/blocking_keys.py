@@ -128,30 +128,20 @@ def sorted_neighborhood_key(col: Column, p: int = 5) -> Column:
     return F.rpad(F.substring(col, 1, p), p, "\x00")
 
 
-def deletion_neighborhood_keys(col: Column, n: int = 1) -> Column:
-    """All strings obtainable by deleting up to ``n`` characters — the
-    FastSS / symmetric-delete blocking family.  Exact for distance <= n:
-    q and t within distance n always share a member of their deletion
-    neighborhoods.  n=1 emits len+1 keys; n=2 is quadratic — gated.
-
-    This is the closest distributed analog of automaton-guided trie
-    intersection: both enumerate the *bounded-error neighborhood* instead of
-    scanning the dictionary.
-    """
-    if n not in (1, 2):
-        raise ValueError("deletion_neighborhood_keys supports n in {1, 2}")
-    s = col
+def _deletion_set(s: Column, n: int) -> Column:
+    """Deletion neighborhood of an arbitrary string *expression* (works on
+    HOF lambda variables too) — the shared core of every deletion-key
+    family.  Includes the string itself; distinct."""
     length = F.length(s)
-    # F.sequence(1, 0) would produce a *descending* [1, 0] — guard empties.
     del1 = F.when(length < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), F.greatest(length, F.lit(1))), lambda i: _delete_at(s, i))
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(length, F.lit(1))),
+            lambda i: _delete_at(s, i),
+        )
     )
     if n == 1:
         return F.array_distinct(F.concat(F.array(s), del1))
 
-    # n == 2: delete once more from each single-deletion string.  ``del1``
-    # feeds both the output and the second deletion pass — let-bind it so
-    # the O(len)-per-element transform runs once per row, not twice.
     def build(d1: Column) -> Column:
         del2 = F.flatten(
             F.transform(
@@ -169,3 +159,93 @@ def deletion_neighborhood_keys(col: Column, n: int = 1) -> Column:
         return F.array_distinct(F.concat(F.array(s), d1, del2))
 
     return let_bound(del1, build)
+
+
+def prefix_deletion_keys(col: Column, n: int = 1, max_prefix_len: int | None = None) -> Column:
+    """Union of the depth-``n`` deletion neighborhoods of every prefix of the
+    term (including the empty prefix) — the dictionary-side key family for
+    PREFIX-mode fuzzy queries (reference: ``.prefix()`` riding the trie,
+    ``src/transducer/ordered_query.rs:320``).
+
+    Completeness: prefix-mode matches q to t iff ed(q, t[:k]) <= n for some
+    k; SymSpell then guarantees del_n(q) ∩ del_n(t[:k]) != ∅, and
+    del_n(t[:k]) ⊆ prefix_deletion_keys(t) whenever k <= max_prefix_len.
+    Since ed >= length gap, only k <= len(q) + n can match — so passing
+    ``max_prefix_len = max probe length + n`` loses nothing and bounds the
+    key count at O((max_probe_len + n)^2) per term instead of O(len(t)^2);
+    at 10^12 terms that cap is what keeps the index linear in the
+    dictionary.  Probe side pairs with plain :func:`deletion_neighborhood_keys`.
+    """
+    if n not in (1, 2):
+        raise ValueError("prefix_deletion_keys supports n in {1, 2}")
+    s = col
+    kmax = F.length(s)
+    if max_prefix_len is not None:
+        kmax = F.least(kmax, F.lit(max_prefix_len))
+    prefixes = F.transform(
+        F.sequence(F.lit(0), F.greatest(kmax, F.lit(0))),
+        lambda k: s.substr(F.lit(1), k),
+    )
+    return F.array_distinct(
+        F.flatten(F.transform(prefixes, lambda p: _deletion_set(p, n)))
+    )
+
+
+# Merge-and-split hybrid key scheme: each merge/split/sub/ins/del op is
+# bridged by deleting <= 2 characters on each side (merge: 2 source chars +
+# 1 target char; split: 1 + 2; sub: 1 + 1; ins/del: <= 1), so strings within
+# merge-split distance n share a member of their depth-2n deletion
+# neighborhoods.  Depth 4 (n=2) is emitted only for strings of length <=
+# MS_DEL_MAX_LEN; longer strings switch to unpositioned 3-grams, which are
+# complete for pairs where both sides have length >= MS_GRAM_MIN_LEN: n=2
+# ops touch <= 2 chars each, each op window kills <= 4 of the 3-grams, so
+# >= (len-2) - 8 grams survive untouched and appear verbatim in the other
+# string.  The bands OVERLAP (strings in [MS_GRAM_MIN_LEN, MS_DEL_MAX_LEN]
+# emit both families) so any length-compatible pair (|len diff| <= n=2)
+# shares a complete family:
+#   min(len) <= MS_DEL_MAX_LEN - n  -> max <= MS_DEL_MAX_LEN -> both emit
+#       deletion keys (complete at any length);
+#   min(len) >  MS_DEL_MAX_LEN - n = 11  -> both >= MS_GRAM_MIN_LEN ->
+#       both emit grams (complete because min length >= 11).
+MS_DEL_MAX_LEN = 13
+MS_GRAM_MIN_LEN = 11
+
+
+def merge_split_keys(col: Column, n: int = 2) -> Column:
+    """Blocking keys exact for the MergeAndSplit variant at distance n=2:
+    depth-4 deletion neighborhood for short strings, 3-grams for long ones
+    (see band constants above; ``d:``/``g:`` namespaces keep the families
+    from cross-joining).  n=1 callers should use depth-2 deletion keys
+    directly (``key_budget=2`` in the matching layer)."""
+    if n != 2:
+        raise ValueError("merge_split_keys implements the n=2 scheme")
+    s = col
+    length = F.length(s)
+    # depth-4 = depth-2 of every depth-2 member (deletions compose)
+    d4 = F.array_distinct(
+        F.flatten(F.transform(_deletion_set(s, 2), lambda x: _deletion_set(x, 2)))
+    )
+    del_keys = F.transform(d4, lambda x: F.concat(F.lit("d:"), x))
+    gram_keys = F.transform(
+        ngram_keys_unpositioned(s, 3), lambda g: F.concat(F.lit("g:"), g)
+    )
+    return (
+        F.when(length < MS_GRAM_MIN_LEN, del_keys)
+        .when(length > MS_DEL_MAX_LEN, gram_keys)
+        .otherwise(F.concat(del_keys, gram_keys))
+    )
+
+
+def deletion_neighborhood_keys(col: Column, n: int = 1) -> Column:
+    """All strings obtainable by deleting up to ``n`` characters — the
+    FastSS / symmetric-delete blocking family.  Exact for distance <= n:
+    q and t within distance n always share a member of their deletion
+    neighborhoods.  n=1 emits len+1 keys; n=2 is quadratic — gated.
+
+    This is the closest distributed analog of automaton-guided trie
+    intersection: both enumerate the *bounded-error neighborhood* instead of
+    scanning the dictionary.
+    """
+    if n not in (1, 2):
+        raise ValueError("deletion_neighborhood_keys supports n in {1, 2}")
+    return _deletion_set(col, n)

@@ -17,6 +17,15 @@ Parameters (max_distance, variant, modes, substitution policy) are bound at
 UDF-construction time and captured in the closure — they ship to executors
 once per task via pickled closure, the Spark analog of the reference's
 compile-time algorithm parameterization (``src/transducer/algorithm.rs``).
+
+Every kernel UDF here is returned ``asNondeterministic()``.  The functions
+are pure; the flag is an *evaluate-once fence*: callers follow the pattern
+``pairs.distinct().withColumn(d, udf).where(d >= 0)``, and a deterministic
+Python UDF lets Catalyst push the filter below the pair-distinct — running
+the Arrow kernel a second time on every key-duplicated join row (measured:
+2 ArrowEvalPython nodes, one under the Exchange).  Nondeterministic blocks
+that pushdown, so the kernel runs exactly once per *distinct* pair while
+the shuffle still carries only the (query, term) strings.
 """
 
 from __future__ import annotations
@@ -55,7 +64,7 @@ def edit_distance_udf(
         )
         return pd.Series(out)
 
-    return _dist
+    return _dist.asNondeterministic()
 
 
 def accepts_udf(
@@ -82,7 +91,7 @@ def accepts_udf(
         )
         return pd.Series(out)
 
-    return _acc
+    return _acc.asNondeterministic()
 
 
 def generalized_distance_udf(max_distance: int, weights):
@@ -103,7 +112,7 @@ def generalized_distance_udf(max_distance: int, weights):
         )
         return pd.Series(out)
 
-    return _gdist
+    return _gdist.asNondeterministic()
 
 
 def length_prefilter(query_col, term_col, max_distance: int):

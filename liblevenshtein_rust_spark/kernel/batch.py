@@ -124,6 +124,9 @@ def encode_strings(strings, max_len: int | None = None, scratch_key: str | None 
     return mat, lengths
 
 
+_IN_USE = False
+
+
 def batch_distance(
     queries,
     terms,
@@ -138,7 +141,39 @@ def batch_distance(
     Returns an int32 array: the variant distance when <= max_distance, else
     -1 (reject).  ``queries``/``terms`` are sequences of ``str`` (``None``
     treated as empty).
+
+    NOT REENTRANT — single-threaded callers only.  All working arrays
+    (including the encoded inputs via ``encode_strings(scratch_key=...)``)
+    alias module-level pooled buffers (:class:`_ScratchPool`) that are
+    clobbered by the next call; only the returned result array is freshly
+    allocated and safe to retain.  This matches Spark's one-task-at-a-time
+    Python-worker execution model; a cheap in-use flag turns any violation
+    into an immediate error instead of silent corruption.
     """
+    global _IN_USE
+    if _IN_USE:
+        raise RuntimeError(
+            "batch_distance is not reentrant: pooled scratch buffers are in use"
+        )
+    _IN_USE = True
+    try:
+        return _batch_distance_impl(
+            queries, terms, max_distance, variant, prefix_mode,
+            substring_mode, allowed_subs,
+        )
+    finally:
+        _IN_USE = False
+
+
+def _batch_distance_impl(
+    queries,
+    terms,
+    max_distance: int,
+    variant: str = STANDARD,
+    prefix_mode: bool = False,
+    substring_mode: bool = False,
+    allowed_subs: frozenset | None = None,
+) -> np.ndarray:
     n = int(max_distance)
     if n < 0:
         raise ValueError("max_distance must be >= 0")
@@ -185,9 +220,16 @@ def batch_distance(
 
     # Left-pad T so the per-row (batch, W) term-char block is a plain slice:
     # row i covers term indices jc = i-1-n .. i-1+n; with pad P the slice is
-    # T_pad[:, i-1-n+P : i-1+n+1+P], always in range for i >= 0.
+    # T_pad[:, i-1-n+P : i-1+n+1+P], always in range for i >= 0.  Width must
+    # cover the DEEPEST QUERY row, not just the term width: with queries much
+    # longer than every term (routine in substring mode, where the unmatched
+    # query suffix is free) the slice at i = max_q reaches column
+    # max_q + n + P — size to max(term width, max_q) so it stays a plain
+    # in-range slice (the extra columns are _PAD and never match).
     P = n + 2
-    T_pad = _SCRATCH.get("tpad", (batch, T.shape[1] + P + W + 2), np.uint32)
+    T_pad = _SCRATCH.get(
+        "tpad", (batch, max(T.shape[1], max_q) + P + W + 2), np.uint32
+    )
     T_pad.fill(_PAD)
     T_pad[:, P : P + T.shape[1]] = T
 

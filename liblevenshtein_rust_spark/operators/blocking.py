@@ -212,11 +212,15 @@ def sorted_neighborhood_pairs(
         n_rows = base.count()
         cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         num_partitions = max(1, min(cap, n_rows // 100_000 + 1))
-    p = (
+    # pooled: released by the materializing caller (release_pooled); a
+    # release-then-reuse recompute is deterministic because
+    # repartitionByRange + sortWithinPartitions is a deterministic layout
+    from ..session import pooled_persist
+
+    p = pooled_persist(
         base.repartitionByRange(num_partitions, "_k", "_id")
         .sortWithinPartitions("_k", "_id")
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     cnts = {
         r["_pid"]: r["c"]

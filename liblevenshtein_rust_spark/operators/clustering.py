@@ -106,10 +106,19 @@ def connected_components(
         old = e
         e = e2
         n_prev = n2
+        # e2 is eagerly checkpointed and no longer references old — drop the
+        # superseded iteration's blocks NOW, not only at convergence (a
+        # 10-iteration fixpoint would otherwise hold 10 generations of the
+        # edge set in the block manager)
+        old.unpersist()
         if changed == 0:
-            old.unpersist()
             break
-    # e is a star graph: v -> u = component root
+    # e is a star graph: v -> u = component root.  e's localCheckpoint blocks
+    # back the returned (lazy) result — register them for release once the
+    # caller has materialized it (pipeline: after the entities parquet write).
+    from ..session import register_pooled
+
+    register_pooled(e)
     comps = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = e.select(F.col("u").alias("node"), F.col("u").alias("component")).distinct()
     return comps.unionByName(roots).distinct()

@@ -119,12 +119,13 @@ def _shingle_base(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     # shuffle-partition count: this repartition exists to parallelize an
     # expensive projection, and a cache wider than the core count makes
     # every downstream map stage pay its task count in scheduling latency
+    from ..session import pooled_persist
+
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    base = (
+    base = pooled_persist(
         docs.repartition(n_part)
         .select(F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh"))
         .where(F.size("sh") > 0)
-        .persist()
     )
     return base
 
@@ -339,9 +340,11 @@ def simhash_near_pairs(
     # large 63-bit fingerprint expression runs wide — projecting before the
     # exchange would evaluate it on those 2 splits; persist because both
     # join sides below would recompute it otherwise
-    fp = simhash_fingerprints(
-        docs.repartition(n_part), text_col, id_col
-    ).persist()
+    from ..session import pooled_persist
+
+    fp = pooled_persist(
+        simhash_fingerprints(docs.repartition(n_part), text_col, id_col)
+    )
     quarters = fp.select(
         id_col,
         "simhash",

@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import edit_distance_udf
 from ..kernel.distances import STANDARD
 from .matching import fuzzy_query
 
@@ -133,10 +132,16 @@ def fuzzy_substring_query(
     """Substring-mode fuzzy query (``is_suffix_based`` accounting,
     ``src/transducer/query.rs:146-156``): the unmatched query suffix is
     free, so a term matches when it is within ``max_distance`` of *some
-    prefix* of the query.  Kernel flag does the accounting; candidate set is
-    the (broadcast) cross join for interactive probe counts."""
-    p = F.broadcast(probes.select(probe_col).distinct())
-    pairs = dictionary.select(term_col).distinct().join(p)
-    dist = edit_distance_udf(max_distance, variant, substring_mode=True)
-    out = pairs.withColumn("distance", dist(F.col(probe_col), F.col(term_col)))
-    return out.where(F.col("distance") >= 0)
+    prefix* of the query.  Candidate generation is key-blocked (probe
+    prefix-deletion keys × term deletion keys —
+    ``matching.substring_candidate_pairs``); the kernel flag does the exact
+    accounting."""
+    return fuzzy_query(
+        probes,
+        dictionary,
+        max_distance,
+        variant,
+        probe_col=probe_col,
+        term_col=term_col,
+        substring_mode=True,
+    )

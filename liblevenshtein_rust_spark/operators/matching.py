@@ -26,8 +26,10 @@ from pyspark.sql import functions as F
 
 from ..functions.blocking_keys import (
     deletion_neighborhood_keys,
+    merge_split_keys,
     ngram_keys_unpositioned,
     normalize_term,
+    prefix_deletion_keys,
 )
 from ..functions.udfs import edit_distance_udf, length_prefilter
 from ..kernel.distances import MERGE_AND_SPLIT, STANDARD
@@ -92,6 +94,121 @@ def candidate_pairs(
     return pairs.where(length_prefilter(F.col(probe_col), F.col(term_col), n))
 
 
+def _keyed_candidate_pairs(
+    probes: DataFrame,
+    dictionary: DataFrame,
+    probe_keys,
+    term_keys,
+    probe_col: str,
+    term_col: str,
+    broadcast_probes: bool,
+    pair_filter=None,
+) -> DataFrame:
+    """Generic blocked candidate generation: explode per-side key arrays,
+    equi-join on key, dedupe, optional length filter.  All key families are
+    recall-complete supersets; the kernel is the exact filter."""
+    p = probes.select(probe_col).where(F.col(probe_col).isNotNull()).distinct()
+    p = p.withColumn("key", F.explode(probe_keys))
+    d = dictionary.select(term_col).where(F.col(term_col).isNotNull()).distinct()
+    d = d.withColumn("key", F.explode(term_keys))
+    if broadcast_probes:
+        p = F.broadcast(p)
+    pairs = p.join(d, "key").select(probe_col, term_col).distinct()
+    if pair_filter is not None:
+        pairs = pairs.where(pair_filter)
+    return pairs
+
+
+def prefix_candidate_pairs(
+    probes: DataFrame,
+    dictionary: DataFrame,
+    max_distance: int,
+    probe_col: str = "query",
+    term_col: str = "term",
+    broadcast_probes: bool = True,
+    max_probe_len: int | None = None,
+) -> DataFrame:
+    """PREFIX-mode blocking: probe emits its deletion neighborhood, term
+    emits the deletion neighborhoods of its prefixes up to length
+    ``max_probe_len + n`` (exact — a prefix match at distance n can't use a
+    longer prefix; see :func:`prefix_deletion_keys`).  The reference walks
+    the trie for this (``ordered_query.rs:320``); prefix keys are the join
+    form of the same prefix-sharing.
+
+    ``max_probe_len`` defaults to one scalar aggregate over the probe table
+    (a bounded driver fetch, same class as the sorted-neighborhood offsets).
+    """
+    n = max_distance
+    if max_probe_len is None:
+        row = probes.agg(F.max(F.length(probe_col))).first()
+        max_probe_len = int(row[0] or 0)
+    return _keyed_candidate_pairs(
+        probes,
+        dictionary,
+        deletion_neighborhood_keys(F.col(probe_col), n=n),
+        prefix_deletion_keys(F.col(term_col), n=n, max_prefix_len=max_probe_len + n),
+        probe_col,
+        term_col,
+        broadcast_probes,
+        # a term only matches if some prefix reaches within n of the probe:
+        # that prefix has length >= len(probe) - n, so the term must too
+        pair_filter=F.length(term_col) >= F.length(probe_col) - n,
+    )
+
+
+def substring_candidate_pairs(
+    probes: DataFrame,
+    dictionary: DataFrame,
+    max_distance: int,
+    probe_col: str = "query",
+    term_col: str = "term",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """SUBSTRING-mode blocking — the mirror of prefix mode: the term must be
+    within n of some *prefix of the probe*, so the PROBE emits its
+    prefix-deletion keys (all prefixes — the probe side is the small side)
+    and the dictionary emits plain deletion keys, the same index the
+    standard mode already uses.  Reference analog: the suffix-automaton
+    index (``suffix_automaton.rs:758``) — the inverted index over term
+    deletion variants plays the automaton's role."""
+    n = max_distance
+    return _keyed_candidate_pairs(
+        probes,
+        dictionary,
+        prefix_deletion_keys(F.col(probe_col), n=n),
+        deletion_neighborhood_keys(F.col(term_col), n=n),
+        probe_col,
+        term_col,
+        broadcast_probes,
+        pair_filter=F.length(probe_col) >= F.length(term_col) - n,
+    )
+
+
+def merge_split_candidate_pairs(
+    probes: DataFrame,
+    dictionary: DataFrame,
+    probe_col: str = "query",
+    term_col: str = "term",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """MergeAndSplit n=2 blocking via the hybrid depth-4-deletion / 3-gram
+    key family (:func:`merge_split_keys`): every op is bridged by <= 2
+    deletions per side, so depth-2n deletion keys are exact; long strings
+    switch to 3-grams (see the band proof in ``functions/blocking_keys``).
+    Each op changes length by at most 1, so the length prefilter holds at
+    n."""
+    return _keyed_candidate_pairs(
+        probes,
+        dictionary,
+        merge_split_keys(F.col(probe_col), n=2),
+        merge_split_keys(F.col(term_col), n=2),
+        probe_col,
+        term_col,
+        broadcast_probes,
+        pair_filter=length_prefilter(F.col(probe_col), F.col(term_col), 2),
+    )
+
+
 def fuzzy_query(
     probes: DataFrame,
     dictionary: DataFrame,
@@ -107,24 +224,47 @@ def fuzzy_query(
     """`Transducer::query_with_distance` as a DataFrame op.
 
     Output: (query, term, distance) for every dictionary term within
-    ``max_distance`` of each probe.  In prefix/substring modes the blocking
-    key scheme switches to n-grams over the probe (a prefix/substring match
-    must contain a probe n-gram modulo n edits) — here we conservatively use
-    the dictionary full-scan for those modes at small probe counts, keeping
-    the equi-join for the standard mode.
+    ``max_distance`` of each probe.  Every mode is key-blocked (equi-join,
+    never a dictionary scan):
 
-    Blocking completeness per variant: symmetric-deletion keys at depth n
-    are exact for standard/OSA/Damerau distance n (SymSpell property), but a
-    merge or split op spans TWO standard edits, so MergeAndSplit needs key
-    depth 2n — usable for n=1; for n>=2 we fall back to the broadcast-probe
-    scan (kernel rejects cheaply; at cluster scale with large probe sets a
-    dedicated alignment-window key scheme would replace this).
+    - standard/transposition: symmetric-deletion keys at depth n — exact
+      for OSA distance n (SymSpell property);
+    - prefix mode: probe deletion keys × term *prefix*-deletion keys
+      (:func:`prefix_candidate_pairs`);
+    - substring mode: the mirror — probe prefix-deletion keys × term
+      deletion keys (:func:`substring_candidate_pairs`);
+    - MergeAndSplit: an op spans up to two standard edits, so n=1 doubles
+      the deletion-key depth and n=2 uses the hybrid depth-4/3-gram family
+      (:func:`merge_split_candidate_pairs`).
+
+    The broadcast-probe dictionary scan survives only as the fallback for
+    combinations without a key scheme (MergeAndSplit n>2, and prefix/
+    substring under MergeAndSplit) — correct but not scale-safe; callers at
+    cluster scale should stay inside the keyed modes.
     """
-    needs_scan = prefix_mode or substring_mode or (
-        variant == MERGE_AND_SPLIT and 2 * max_distance > 2
-    )
-    if needs_scan:
-        # cross join against (broadcast) probes; the kernel rejects cheaply.
+    n = max_distance
+    keyed_variant = variant != MERGE_AND_SPLIT
+    if prefix_mode and keyed_variant and 1 <= n <= 2:
+        pairs = prefix_candidate_pairs(
+            probes, dictionary, n, probe_col, term_col, broadcast_probes
+        )
+    elif substring_mode and keyed_variant and 1 <= n <= 2:
+        pairs = substring_candidate_pairs(
+            probes, dictionary, n, probe_col, term_col, broadcast_probes
+        )
+    elif (
+        variant == MERGE_AND_SPLIT
+        and n == 2
+        and not (prefix_mode or substring_mode)
+    ):
+        pairs = merge_split_candidate_pairs(
+            probes, dictionary, probe_col, term_col, broadcast_probes
+        )
+    elif prefix_mode or substring_mode or (
+        variant == MERGE_AND_SPLIT and 2 * n > 2
+    ):
+        # fallback: cross join against (broadcast) probes; kernel rejects
+        # cheaply.  Only reachable for mode combinations listed above.
         p = probes.select(probe_col).distinct()
         if broadcast_probes:
             p = F.broadcast(p)
@@ -232,7 +372,12 @@ def fuzzy_multimap_query(
 ) -> DataFrame:
     """FuzzyMultiMap::query (``src/cache/multimap.rs:83-112``): fuzzy-match
     keys, union all matched keys' values per probe (HashSet-union semantics →
-    distinct aggregation)."""
+    distinct aggregation).  ``values`` materializes the unioned value
+    collection itself, sorted — the ``CollectionAggregate`` contract
+    (``multimap.rs:67-80``: HashSet/BTreeSet union); the summary columns
+    (n/min/max) stay for cheap cardinality-only consumers.  At scale the
+    array column is bounded by the per-probe distinct-value fan-out, the
+    same bound the reference's in-memory set union pays."""
     matches = fuzzy_query(
         probes,
         mapped_dictionary.select(term_col).distinct(),
@@ -247,6 +392,7 @@ def fuzzy_multimap_query(
         F.min(value_col).alias("min_value"),
         F.max(value_col).alias("max_value"),
         F.countDistinct(term_col).alias("n_terms"),
+        F.sort_array(F.collect_set(value_col)).alias("values"),
     )
 
 

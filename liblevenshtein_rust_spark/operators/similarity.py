@@ -52,13 +52,23 @@ def brute_force_topk(
 def _deterministic_centroids(corpus: DataFrame, cid: str, cvec: str, n_cells: int) -> DataFrame:
     """Pick C centroid vectors deterministically: the C corpus vectors with
     the smallest md5(id) — a seedless, reproducible sample (k-means would
-    need iterations; for an ANN *index* any well-spread sample works)."""
-    w = Window.orderBy(F.md5(F.col(cid).cast("string")))
+    need iterations; for an ANN *index* any well-spread sample works).
+
+    Physical shape: ``orderBy(md5).limit(C)`` plans as a distributed
+    TakeOrderedAndProject (per-partition top-C, tiny single merge of C rows)
+    — NOT a global Window sort, which would pull the whole corpus through
+    one task.  The row_number window that assigns cell ids then runs over
+    exactly C rows, so its single partition is C-bounded by construction."""
+    md5_key = F.md5(F.col(cid).cast("string"))
+    top = (
+        corpus.select(md5_key.alias("_k"), F.col(cvec).alias("centroid"))
+        .orderBy("_k")
+        .limit(n_cells)
+    )
+    w = Window.orderBy("_k")
     return (
-        corpus.select(F.col(cid), F.col(cvec))
-        .withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") <= n_cells)
-        .select((F.col("_r") - 1).alias("cell"), F.col(cvec).alias("centroid"))
+        top.withColumn("cell", F.row_number().over(w) - 1)
+        .select("cell", "centroid")
     )
 
 

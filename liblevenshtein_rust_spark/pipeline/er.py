@@ -78,21 +78,27 @@ def vocab_token_matches(
         F.explode(deletion_neighborhood_keys(F.col("token"), n=max(n, 1))).alias("key"),
     )
     # Hash the string keys to 8-byte longs before the shuffle-heavy part:
-    # halves exchange bytes and join hashing cost.  Safe over-approximation —
-    # a hash collision can only ADD candidate pairs (kernel rejects them; at
-    # ~2^-44 collision odds per key pair the extra work is nil), never drop
-    # one, so the deletion-blocking completeness guarantee is untouched.
+    # halves exchange bytes and join hashing cost.  A hash collision ADDS
+    # candidate pairs (kernel rejects them; ~2^-44 odds per key pair), with
+    # one theoretical asterisk: a collision that merges a benign key into a
+    # key already at extreme_key_threshold could drop that key's pairs with
+    # the extreme band.  At 2^-44 per pair of keys this is astronomically
+    # unlikely (and bounded by one key's pairs); the completeness guarantee
+    # is probabilistic only in that sense.
     keyed = keyed.select("token", F.xxhash64("key").alias("key"))
     # The exploded key table feeds three consumers (hot count, cold filter,
     # self-join sides); without persisting, the O(len^2)-per-token deletion
-    # expression is recomputed for each — persist once, reuse everywhere.
-    keyed = keyed.persist()
+    # expression is recomputed for each — persist once, reuse everywhere
+    # (pooled: run_pipeline releases after the stage checkpoint is written).
+    from ..session import pooled_persist
+
+    keyed = pooled_persist(keyed)
     # skew guard on the vocab self-join: a deletion variant shared by
     # thousands of tokens (e.g. every 3-char fragment) explodes quadratically
     # The per-key fan-out table feeds three consumers (hot set, extreme set,
     # stats agg) — persist the aggregate once instead of re-running the
     # groupBy shuffle for each.
-    counts = keyed.groupBy("key").agg(F.count("*").alias("n_toks")).persist()
+    counts = pooled_persist(keyed.groupBy("key").agg(F.count("*").alias("n_toks")))
     # three bands, per the north rule's explicit skew handling:
     #   cold    (<= hot_key_threshold)       → plain equi self-join
     #   hot     (.. extreme_key_threshold]   → SALTED self-join (triangle
@@ -201,6 +207,8 @@ def run_pipeline(
     Every stage checkpoints to ``run_dir`` (see :mod:`.runstate`); a rerun
     with the same config resumes from the last completed stage.
     """
+    from ..session import release_pooled
+
     cfg = cfg or ERConfig()
     rs = Runstate(spark, run_dir, asdict(cfg))
 
@@ -228,6 +236,9 @@ def run_pipeline(
         },
         metrics=lambda d: {"hot_keys_dropped": hot_stats[0] if hot_stats else 0},
     )
+    # the stage above is parquet-materialized — the pooled key/count caches
+    # inside vocab_token_matches are dead weight from here on
+    release_pooled()
 
     edges = rs.stage(
         "match_edges",
@@ -247,6 +258,9 @@ def run_pipeline(
         ),
         inputs=("match_edges", "docs"),
     )
+    # entities is parquet-materialized; drop the CC fixpoint's final
+    # localCheckpoint blocks (registered by connected_components)
+    release_pooled()
     return entities
 
 

@@ -55,3 +55,50 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# pooled persist registry — caches that outlive their operator call
+# ---------------------------------------------------------------------------
+# Operators persist expensive reused intermediates (shingle tables, key
+# tables, fingerprints).  A lazy DataFrame API can't unpersist them inside
+# the operator (the returned plan still references them), so they register
+# here and the *materializing* caller — bench between queries, the ER
+# pipeline after each checkpointed stage, tests — calls release_pooled()
+# once the consuming plan has been executed.  Unpersisting a plain persist()
+# is always safe (Spark falls back to recompute); entries registered with
+# ``checkpointed=True`` (localCheckpoint: lineage is truncated, recompute
+# impossible) are only released explicitly for objects the caller knows are
+# dead, which release_pooled() honors by releasing them too — callers must
+# therefore only invoke it at a true materialization boundary.
+
+_POOLED: list = []
+
+
+def pooled_persist(df, eager: bool = False):
+    """persist() + register for a later release_pooled()."""
+    out = df.persist()
+    if eager:
+        out.count()
+    _POOLED.append(out)
+    return out
+
+
+def register_pooled(df):
+    """Register an already-persisted/checkpointed DataFrame for release."""
+    _POOLED.append(df)
+    return df
+
+
+def release_pooled() -> int:
+    """Unpersist every registered cache; returns how many were released.
+    Call only after the plans consuming them have been materialized."""
+    n = 0
+    while _POOLED:
+        df = _POOLED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n

@@ -81,3 +81,18 @@ def misspelling_recall(
             for d in range(1, max_distance + 1)
         ],
     )
+
+
+def load_word_list(spark: SparkSession, path: str, min_len: int = 1) -> DataFrame:
+    """One-word-per-line dictionary file → distinct lowercase (term).
+
+    The reference ships ``data/english_words.txt`` (123,985 words) in this
+    format and publishes its d=1/d=2 query behavior against it
+    (``README.md:415-419``); this loader is how the engine consumes the same
+    dictionary distributed (text source scales to any size; the distinct is
+    one shuffle on the term)."""
+    lines = spark.read.text(path)
+    words = lines.select(F.lower(F.trim("value")).alias("term"))
+    return words.where(
+        (F.length("term") >= min_len) & F.col("term").rlike("^[a-z]+$")
+    ).distinct()

@@ -58,9 +58,12 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        from liblevenshtein_rust_spark.session import release_pooled
+
         sdf = fn(spark, SF_DIR)
         srows = sdf.collect()
         scols = sdf.columns
+        release_pooled()
         if name not in oracles:
             print(f"{name}: NO-ORACLE rows={len(srows)} cols={scols}")
             continue

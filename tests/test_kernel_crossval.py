@@ -111,3 +111,17 @@ def test_typo_families_within_bound():
     got = batch_distance(qs, ts, 1, "standard")
     assert (got >= 0).all()
     assert (got <= 1).all()
+
+
+def test_substring_query_much_longer_than_terms():
+    """Regression: T_pad must cover the deepest QUERY row — with queries far
+    longer than every term (the routine substring-mode shape) the band slice
+    used to run past the term-width-sized pad buffer and crash."""
+    qs = ["abcabcabcabcabc", "zzzzzzzzzzzzzz", "ab"]
+    ts = ["ab", "bc", "zz"]
+    got = batch_distance(qs, ts, 1, "standard", substring_mode=True)
+    from liblevenshtein_rust_spark.kernel.distances import substring_distance
+
+    want = [substring_distance(q, t) for q, t in zip(qs, ts)]
+    want = [d if d <= 1 else -1 for d in want]
+    assert got.tolist() == want
