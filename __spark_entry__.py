@@ -618,6 +618,41 @@ def q_fuzzy_query_weighted_nosub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query", "term", F.col("distance").cast("int").alias("distance"))
 
 
+GENERALIZED_OPS_PROBES = [
+    "philter", "sparck", "phast", "ckey", "philters", "kee", "fast", "zzzz",
+]
+
+
+def q_fuzzy_query_generalized_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized restricted multichar operations (reference
+    ``operation_type.rs:46-68`` ⟨t^x, t^y, t^w⟩ with restriction sets,
+    applied through ``GeneralizedAutomaton::with_operations``): phonetic
+    digraph ops ph↔f and ck↔k at fractional cost 0.5, budget 1.0 — one
+    digraph rewrite (0.5), two (1.0), or one standard edit (1.0) pass; a
+    digraph plus an edit (1.5) does not.  Distances are exact binary
+    fractions (k/2), so the DOUBLE comparison with the DuckDB DP replay is
+    value-exact."""
+    from liblevenshtein_rust_spark.kernel.generalized import (
+        OperationWeights,
+        RestrictedOp,
+    )
+
+    w = OperationWeights(
+        extra_ops=(
+            RestrictedOp("ph", "f", 0.5),
+            RestrictedOp("f", "ph", 0.5),
+            RestrictedOp("ck", "k", 0.5),
+            RestrictedOp("k", "ck", 0.5),
+        )
+    )
+    return matching.fuzzy_query_weighted(
+        _probes_df(spark, GENERALIZED_OPS_PROBES),
+        _doc_tokens(spark, sf_dir),
+        1.0,
+        w,
+    ).select("query", "term", F.round(F.col("distance"), 1).alias("distance"))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liblevenshtein_rust_spark.operators import text
 
@@ -679,6 +714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_frame_sample": q_media_frame_sample,
     "fuzzy_query_weighted_nosub": q_fuzzy_query_weighted_nosub,
+    "fuzzy_query_generalized_ops": q_fuzzy_query_generalized_ops,
     "token_stats": q_token_stats,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
@@ -1175,6 +1211,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.query = t.term
                OR (levenshtein(p.query, t.term) = 1
                    AND abs(length(p.query) - length(t.term)) = 1)
+        """,
+        # Weighted DP replay of the generalized op set (match/sub/ins/del at
+        # 1.0 plus restricted digraph ops ph<->f, ck<->k at 0.5), same row
+        # recurrence as the merge-split CTE but DOUBLE-valued: the inner k
+        # chooses where the last non-insert op landed, + (j-k) unit inserts.
+        "fuzzy_query_generalized_ops": f"""
+            WITH RECURSIVE {_PLAIN_TOKS_CTE},
+            probes AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in GENERALIZED_OPS_PROBES)}) v(query)),
+            pairs AS (
+                -- length prefilter at the op-derived drift bound: |tx-ty|/w
+                -- maxes at 1/0.5 = 2 for the digraph ops (budget 1.0)
+                SELECT p.query AS q, t.term AS t FROM probes p, toks t
+                WHERE abs(length(p.query) - length(t.term)) <= 2
+            ),
+            dp AS (
+                SELECT q, t, 0 AS i,
+                       list_transform(generate_series(0, length(t)), j -> j::DOUBLE) AS curr,
+                       NULL::DOUBLE[] AS prev
+                FROM pairs
+                UNION ALL
+                SELECT q, t, i + 1,
+                       list_transform(generate_series(0, length(t)), j ->
+                           list_min(list_transform(generate_series(0, j), k ->
+                               (CASE WHEN k = 0 THEN curr[1] + 1.0
+                                     ELSE least(
+                                         curr[k + 1] + 1.0,
+                                         curr[k] + CASE WHEN substr(q, i + 1, 1) = substr(t, k, 1)
+                                                   THEN 0.0 ELSE 1.0 END,
+                                         CASE WHEN k >= 2 AND substr(q, i + 1, 1) = 'f'
+                                                   AND substr(t, k - 1, 2) = 'ph'
+                                              THEN curr[k - 1] + 0.5 ELSE 99.0 END,
+                                         CASE WHEN k >= 2 AND substr(q, i + 1, 1) = 'k'
+                                                   AND substr(t, k - 1, 2) = 'ck'
+                                              THEN curr[k - 1] + 0.5 ELSE 99.0 END,
+                                         CASE WHEN i >= 1 AND substr(q, i, 2) = 'ph'
+                                                   AND substr(t, k, 1) = 'f'
+                                              THEN COALESCE(prev[k], 99.0) + 0.5 ELSE 99.0 END,
+                                         CASE WHEN i >= 1 AND substr(q, i, 2) = 'ck'
+                                                   AND substr(t, k, 1) = 'k'
+                                              THEN COALESCE(prev[k], 99.0) + 0.5 ELSE 99.0 END)
+                                END) + (j - k)::DOUBLE))
+                       ) AS curr,
+                       curr AS prev
+                FROM dp WHERE i < length(q)
+            )
+            SELECT q AS query, t AS term, round(curr[length(t) + 1], 1) AS distance
+            FROM dp
+            WHERE i = length(q) AND curr[length(t) + 1] <= 1.0
         """,
         "token_stats": """
             SELECT doc_id::BIGINT AS doc_id,

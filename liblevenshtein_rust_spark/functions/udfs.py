@@ -94,18 +94,25 @@ def accepts_udf(
     return _acc.asNondeterministic()
 
 
-def generalized_distance_udf(max_distance: int, weights):
-    """Return a pandas UDF ``(query, term) -> int`` for the runtime-weighted
-    operation set (reference ``generalized/operation_set.rs:204-239``):
-    weighted distance, or -1 when over budget.  ``weights`` is an
-    :class:`~..kernel.generalized.OperationWeights` captured in the closure —
-    the Spark analog of the reference's runtime op-set dispatch."""
+def generalized_distance_udf(max_distance: float, weights):
+    """Return a pandas UDF ``(query, term) -> distance`` for the
+    runtime-weighted operation set (reference
+    ``generalized/operation_set.rs:204-239`` + restricted multichar ops,
+    ``operation_type.rs:46-68``): weighted distance, or -1 when over budget.
+    ``weights`` is an :class:`~..kernel.generalized.OperationWeights`
+    captured in the closure — the Spark analog of the reference's runtime
+    op-set dispatch.  Column type follows the metric: IntegerType when every
+    weight is integral, DoubleType when fractional costs make the distance
+    itself fractional."""
+    from pyspark.sql.types import DoubleType
+
     from ..kernel.generalized import batch_generalized_distance
 
-    n = int(max_distance)
     weights.validate()
+    integral = weights.is_integral()
+    n = int(max_distance) if integral else float(max_distance)
 
-    @F.pandas_udf(IntegerType())
+    @F.pandas_udf(IntegerType() if integral else DoubleType())
     def _gdist(query: pd.Series, term: pd.Series) -> pd.Series:
         out = batch_generalized_distance(
             query.to_numpy(), term.to_numpy(), n, weights

@@ -294,47 +294,117 @@ def fuzzy_query(
     return out.where(F.col("distance") >= 0)
 
 
+def _weighted_blocking_bounds(weights, budget: float) -> dict:
+    """Blocking-relevant bounds for a generalized op set at ``budget``:
+    worst-case query/term chars consumed by non-match ops (``dq``/``dt`` —
+    the deletion-key depth needed per side), worst-case length drift
+    (``max_delta`` — the length-prefilter bound), op-count bound
+    (``max_ops``), and widest segment (``max_seg``).  Each is the LP bound
+    floor(budget * max_op(metric/weight)); zero-weight ops (unbounded
+    applications) force the caller to the fallback path (``unbounded``)."""
+    import math
+
+    # (query_consumed ty, term_consumed tx, weight) per enabled op; kernel
+    # orientation: delete eats a query char, insert eats a term char.
+    ops = [(1, 1, weights.substitute), (0, 1, weights.insert), (1, 0, weights.delete)]
+    if weights.transpose is not None:
+        ops.append((2, 2, weights.transpose))
+    if weights.merge is not None:
+        ops.append((2, 1, weights.merge))
+    if weights.split is not None:
+        ops.append((1, 2, weights.split))
+    ops += [
+        (len(o.query_seg), len(o.term_seg), o.weight) for o in weights.extra_ops
+    ]
+    if any(w == 0 for _, _, w in ops):
+        return {"unbounded": True}
+
+    def bound(metric) -> int:
+        return math.floor(
+            budget * max((metric(ty, tx) / w for ty, tx, w in ops), default=0)
+            + 1e-9
+        )
+
+    return {
+        "unbounded": False,
+        "dq": bound(lambda ty, tx: ty),
+        "dt": bound(lambda ty, tx: tx),
+        "max_delta": bound(lambda ty, tx: abs(ty - tx)),
+        "max_ops": bound(lambda ty, tx: 1),
+        "max_seg": max((max(ty, tx) for ty, tx, _ in ops), default=1),
+    }
+
+
 def fuzzy_query_weighted(
     probes: DataFrame,
     dictionary: DataFrame,
-    max_distance: int,
+    max_distance: float,
     weights,
     probe_col: str = "query",
     term_col: str = "term",
     broadcast_probes: bool = True,
 ) -> DataFrame:
     """Fuzzy query under a runtime-weighted operation set
-    (``GeneralizedAutomaton``, reference ``generalized/mod.rs``): output
+    (``GeneralizedAutomaton``, reference ``generalized/mod.rs``; restricted
+    multichar ops per ``operation_type.rs:46-68``): output
     (query, term, distance) with the weighted distance <= budget.
 
-    Blocking completeness: every enabled op costs >= 1, so weighted distance
-    <= n bounds the op count by n; sub/ins/del/transpose ops keep Damerau
-    distance <= op count, which symmetric-deletion keys at depth n cover
-    exactly (SymSpell).  Merge/split ops span two standard edits, so when
-    enabled the key depth doubles (n=1) or the query falls back to the
-    broadcast-probe scan (n>=2) — same policy as
-    :func:`fuzzy_query` for MergeAndSplit.  The length prefilter holds at
-    ``max_distance`` since every op shifts length by at most 1."""
+    Blocking is chosen from :func:`_weighted_blocking_bounds`: two strings
+    within weighted distance n agree after removing the chars the ops
+    touched — at most ``dq`` from the query and ``dt`` from the term — so
+    deletion neighborhoods at those depths must intersect (the SymSpell
+    argument, op-weight generalized):
+
+    - ``max(dq, dt) <= 2``: plain deletion keys at that depth;
+    - depths <= 4, length drift <= 2, and total gram damage
+      ``max_ops * (max_seg + 2) <= 8``: the merge-split hybrid
+      depth-4-deletion / 3-gram family (its band proof needs exactly those
+      bounds — see ``functions/blocking_keys``);
+    - otherwise (incl. any zero-weight op, whose application count is
+      unbounded): broadcast-probe scan, correct but not scale-safe.
+
+    The length prefilter uses the op-derived drift bound ``max_delta``."""
+    from ..functions.blocking_keys import merge_split_keys
     from ..functions.udfs import generalized_distance_udf
 
-    has_ms = weights.merge is not None or weights.split is not None
-    if has_ms and 2 * max_distance > 2:
-        p = probes.select(probe_col).distinct()
-        if broadcast_probes:
-            p = F.broadcast(p)
-        pairs = dictionary.select(term_col).distinct().join(p).where(
-            length_prefilter(F.col(probe_col), F.col(term_col), max_distance)
-        )
-    else:
+    b = _weighted_blocking_bounds(weights, float(max_distance))
+    if not b["unbounded"] and max(b["dq"], b["dt"]) <= 2:
         pairs = candidate_pairs(
             probes,
             dictionary,
-            max_distance,
+            b["max_delta"],
             probe_col,
             term_col,
             broadcast_probes=broadcast_probes,
-            key_budget=2 * max_distance if has_ms else None,
+            key_budget=max(b["dq"], b["dt"], 1),
         )
+    elif (
+        not b["unbounded"]
+        and max(b["dq"], b["dt"]) <= 4
+        and b["max_delta"] <= 2
+        and b["max_ops"] * (b["max_seg"] + 2) <= 8
+    ):
+        pairs = _keyed_candidate_pairs(
+            probes,
+            dictionary,
+            merge_split_keys(F.col(probe_col), n=2),
+            merge_split_keys(F.col(term_col), n=2),
+            probe_col,
+            term_col,
+            broadcast_probes,
+            pair_filter=length_prefilter(
+                F.col(probe_col), F.col(term_col), b["max_delta"]
+            ),
+        )
+    else:
+        p = probes.select(probe_col).distinct()
+        if broadcast_probes:
+            p = F.broadcast(p)
+        pairs = dictionary.select(term_col).distinct().join(p)
+        if not b["unbounded"]:
+            pairs = pairs.where(
+                length_prefilter(F.col(probe_col), F.col(term_col), b["max_delta"])
+            )
     dist = generalized_distance_udf(max_distance, weights)
     out = pairs.withColumn("distance", dist(F.col(probe_col), F.col(term_col)))
     return out.where(F.col("distance") >= 0)
