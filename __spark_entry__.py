@@ -480,6 +480,23 @@ def q_phonetic_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(probes).join(terms, "pkey").select("query", "term")
 
 
+def q_phonetic_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three selectable phonetic rule sets over the vocabulary — the
+    reference ships three curated sets behind one engine
+    (``phonetic/rules.rs:246-286``); ours are original data with the same
+    selectable surface (``functions/phonetic.PHONETIC_RULESETS``).  Pure
+    per-row projections (codegen); the oracle replays each chain verbatim."""
+    from liblevenshtein_rust_spark.functions.phonetic import phonetic_normalize
+
+    toks = _doc_tokens(spark, sf_dir)
+    return toks.select(
+        "term",
+        phonetic_normalize(F.col("term"), "default").alias("code_default"),
+        phonetic_normalize(F.col("term"), "soundex_like").alias("code_soundex"),
+        phonetic_normalize(F.col("term"), "skeleton").alias("code_skeleton"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental maintenance (DynamicDawg analog) + contextual completion
 # ---------------------------------------------------------------------------
@@ -727,6 +744,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_positions": q_substring_positions,
     "fuzzy_substring_d1": q_fuzzy_substring_d1,
     "phonetic_join": q_phonetic_join,
+    "phonetic_codes": q_phonetic_codes,
     "incremental_update": q_incremental_update,
     "contextual_complete": q_contextual_complete,
 }
@@ -1372,6 +1390,14 @@ def oracle_sql() -> dict[str, str]:
             probes AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in PHONETIC_PROBES)}) v(query))
             SELECT p.query, t.term FROM probes p, toks t
             WHERE {_phonetic_rules_sql("p.query")} = {_phonetic_rules_sql("t.term")}
+        """,
+        "phonetic_codes": f"""
+            WITH {_PLAIN_TOKS_CTE}
+            SELECT term,
+                   {_phonetic_rules_sql("term", "default")} AS code_default,
+                   {_phonetic_rules_sql("term", "soundex_like")} AS code_soundex,
+                   {_phonetic_rules_sql("term", "skeleton")} AS code_skeleton
+            FROM toks
         """,
         "incremental_update": f"""
             WITH {_SRC_COUNTS_CTE.format(name="s0", src="src0")},

@@ -110,6 +110,35 @@ def cmd_delete(spark, args) -> None:
     print(f"deleted {len(args.term)} terms")
 
 
+def cmd_minimize(spark, args) -> None:
+    """``Commands::Minimize`` (``cli/args.rs``) — the reference minimizes a
+    DAWG by merging equivalent suffixes; the columnar analog is *table
+    compaction*: distinct terms, sorted, rewritten into few size-targeted
+    files.  Sorting by term maximizes parquet prefix/dictionary compression
+    (shared prefixes land in the same column chunk — the same redundancy a
+    DAWG merges) and gives term-range rowgroup statistics, so later lookups
+    prune rowgroups like a trie walk prunes branches."""
+    d = _read(spark, args.dict, args.format, args.term_col)
+    n_before = d.count()
+    files_before = len(d.inputFiles())
+    out = (
+        d.distinct()
+        .repartitionByRange(max(1, args.target_files), args.term_col)
+        .sortWithinPartitions(args.term_col)
+    )
+    _write(out, args.output or args.dict + ".min", args.format, args.term_col)
+    print(
+        json.dumps(
+            {
+                "rows_in": n_before,
+                "rows_out": out.count(),
+                "files_in": files_before,
+                "files_out": args.target_files,
+            }
+        )
+    )
+
+
 def cmd_er(spark, args) -> None:
     from .pipeline import er
 
@@ -163,6 +192,13 @@ def build_parser() -> argparse.ArgumentParser:
         s.add_argument("--format", default="parquet")
         s.add_argument("--term-col", default="term")
 
+    m = sub.add_parser("minimize")
+    m.add_argument("--dict", required=True)
+    m.add_argument("--output", default=None)
+    m.add_argument("--format", default="parquet")
+    m.add_argument("--term-col", default="term")
+    m.add_argument("--target-files", type=int, default=1)
+
     e = sub.add_parser("er")
     e.add_argument("--docs", required=True)
     e.add_argument("--run-dir", required=True)
@@ -179,6 +215,7 @@ COMMANDS = {
     "convert": cmd_convert,
     "upsert": cmd_upsert,
     "delete": cmd_delete,
+    "minimize": cmd_minimize,
     "er": cmd_er,
 }
 

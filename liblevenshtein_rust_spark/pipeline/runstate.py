@@ -116,19 +116,22 @@ class Runstate:
             shutil.rmtree(base)
         t0 = time.time()
         df = build()
-        obs = None
-        if observe:
-            from pyspark.sql import Observation
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
 
-            obs = Observation()
-            df = df.observe(obs, *[c.alias(k) for k, c in observe.items()])
+        obs = Observation()
+        # row count rides the write job itself (one more agg column in the
+        # same observation) — a follow-up .count() would re-scan the written
+        # parquet, one extra job per stage of pure fixed cost
+        cols = dict(observe or {})
+        cols.setdefault("__rows", F.count(F.lit(1)))
+        df = df.observe(obs, *[c.alias(k) for k, c in cols.items()])
         tmp = dpath + ".tmp"
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(partition_by)
         w.parquet(tmp)
         out = self.spark.read.parquet(tmp)
-        rows = out.count()
         n_files = len(
             [
                 f
@@ -137,11 +140,11 @@ class Runstate:
                 if f.endswith(".parquet")
             ]
         )
-        stage_metrics: dict = {}
-        if obs is not None:
-            stage_metrics.update(
-                {k: (v.item() if hasattr(v, "item") else v) for k, v in obs.get.items()}
-            )
+        observed = {
+            k: (v.item() if hasattr(v, "item") else v) for k, v in obs.get.items()
+        }
+        rows = int(observed.pop("__rows") or 0)
+        stage_metrics: dict = observed
         if metrics:
             stage_metrics.update(metrics(out))
         man = {

@@ -81,6 +81,28 @@ def test_cli_upsert_delete(spark, dict_path, tmp_path, capsys):
     assert "toast" not in {r["term"] for r in spark.read.parquet(out2).collect()}
 
 
+def test_cli_minimize(spark, tmp_path, capsys):
+    """Minimize ≈ table compaction: duplicates dropped, many small files
+    rewritten into the target count, terms sorted within files (the columnar
+    analog of DAWG suffix merging — see ``cli.cmd_minimize``)."""
+    src = str(tmp_path / "fragmented.parquet")
+    terms = [("alpha",), ("beta",), ("alpha",), ("gamma",), ("beta",), ("delta",)]
+    spark.createDataFrame(terms, "term string").repartition(6).write.parquet(src)
+    out = str(tmp_path / "compacted.parquet")
+    cli.COMMANDS["minimize"](
+        spark,
+        cli.build_parser().parse_args(
+            ["minimize", "--dict", src, "--output", out, "--target-files", "1"]
+        ),
+    )
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["rows_in"] == 6 and stats["rows_out"] == 4
+    back = spark.read.parquet(out)
+    got = [r["term"] for r in back.collect()]
+    assert sorted(got) == ["alpha", "beta", "delta", "gamma"]
+    assert got == sorted(got)  # single sorted file: scan order == term order
+
+
 # ---------------------------------------------------------------------------
 # corpus parsers
 # ---------------------------------------------------------------------------

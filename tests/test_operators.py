@@ -202,6 +202,38 @@ def test_phonetic_collisions(spark, a, b):
     assert row["pa"] == row["pb"], row
 
 
+def test_phonetic_rulesets(spark):
+    """Three selectable rule sets (reference ships three curated sets,
+    ``phonetic/rules.rs:246-286``): sound-alike pairs collide under each,
+    distinct-sounding words stay distinct, empty input stays empty."""
+    words = ["robert", "rupert", "smith", "smyth", "banana", "phast",
+             "fast", "", "quick", "kwik"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    out = {
+        rs: {
+            r["w"]: r["c"]
+            for r in df.select(
+                "w", phonetic_normalize(F.col("w"), rs).alias("c")
+            ).collect()
+        }
+        for rs in ("default", "soundex_like", "skeleton")
+    }
+    # soundex-family consonant classes: classic collision pairs collide
+    assert out["soundex_like"]["robert"] == out["soundex_like"]["rupert"] == "r163"
+    assert out["soundex_like"]["smith"] == out["soundex_like"]["smyth"] == "s530"
+    assert out["soundex_like"]["fast"] != out["soundex_like"]["banana"]
+    # skeleton: consonant skeleton after the default chain, runs squeezed
+    assert out["skeleton"]["smith"] == out["skeleton"]["smyth"] == "smth"
+    assert out["skeleton"]["phast"] == out["skeleton"]["fast"] == "fst"
+    assert out["skeleton"]["banana"] == "bn"
+    # default chain unchanged by the refactor
+    assert out["default"]["quick"] == out["default"]["kwik"] == "kwik"
+    for rs in out:
+        assert out[rs][""] == ""
+    with pytest.raises(ValueError):
+        phonetic_normalize(F.col("w"), "nope")
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
