@@ -47,7 +47,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_PAIRS", "24000000"))
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "100000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "240000"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPS", "2"))
 SCALE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_WAIT_S", "240"))
 
@@ -246,8 +246,10 @@ def scale_worker(cores: int) -> None:
     # windows that bill serializes and scales WITH core count — observed
     # 6/6 scaling samples ending in a throttled window (~7 MB/s probe),
     # turning the 32-core ER measurement into a page-fault benchmark.
+    probe_pre_er = host_probe()
     er_cold = bench_er(spark, SCALE_DOCS, tempfile.mkdtemp(prefix=f"er_cold{cores}_"))
     er = bench_er(spark, SCALE_DOCS, tempfile.mkdtemp(prefix=f"er_scale{cores}_"))
+    probe_post_er = host_probe()
     _score_job(spark, cores, limit=SCALE_PAIRS // 10)  # warm JIT/Arrow/workers
     # First full pass faults every executor/worker page once — on this
     # sandbox host, first-touch of fresh pages is 10-100x slower than steady
@@ -263,6 +265,8 @@ def scale_worker(cores: int) -> None:
             {
                 "cores": cores,
                 "host_probe_mb_s": probe,
+                "host_probe_pre_er_mb_s": probe_pre_er,
+                "host_probe_post_er_mb_s": probe_post_er,
                 "host_probe_after_mb_s": host_probe(),
                 "score_wall_s": round(t, 3),
                 "score_wall_cold_s": round(t_cold, 3),
@@ -390,6 +394,8 @@ def main() -> None:
                     "er_wall_cold_s": s.get("er_wall_cold_s"),
                     "host_probe_at_launch_mb_s": s.get("host_probe_at_launch_mb_s"),
                     "host_probe_mb_s": s.get("host_probe_mb_s"),
+                    "host_probe_pre_er_mb_s": s.get("host_probe_pre_er_mb_s"),
+                    "host_probe_post_er_mb_s": s.get("host_probe_post_er_mb_s"),
                     "host_probe_after_mb_s": s.get("host_probe_after_mb_s"),
                 }
                 for c in (low, CPUS)
