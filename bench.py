@@ -52,7 +52,7 @@ SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPS", "2"))
 SCALE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_WAIT_S", "240"))
 
 
-def _fresh_spark(cores: int):
+def _fresh_spark(cores: int, shuffle_partitions: int | None = None):
     from pyspark.sql import SparkSession
 
     active = SparkSession.getActiveSession()
@@ -61,7 +61,9 @@ def _fresh_spark(cores: int):
         SparkSession.builder._options = {}
     from liblevenshtein_rust_spark.session import get_spark
 
-    return get_spark(f"bench_local{cores}", cores=cores)
+    return get_spark(
+        f"bench_local{cores}", cores=cores, shuffle_partitions=shuffle_partitions
+    )
 
 
 def bench_queries(spark) -> dict[str, float]:
@@ -138,13 +140,17 @@ def bench_english_dict(spark) -> dict:
     return out
 
 
-def bench_er(spark, n_docs: int, run_dir: str) -> dict:
-    """Full pipeline over the synthetic interleaved corpus; fresh run_dir."""
+def bench_er(spark, n_docs: int, run_dir: str, partitions: int | None = None) -> dict:
+    """Full pipeline over the synthetic interleaved corpus; fresh run_dir.
+
+    ``partitions`` pins the generator's task count (data-sized, not
+    cluster-sized) so scaling runs execute the identical plan at every
+    cluster size — see :func:`scale_partitions`."""
     from liblevenshtein_rust_spark.pipeline import er
     from liblevenshtein_rust_spark.sources import fixtures
 
     cfg = er.ERConfig(max_df=max(10, n_docs // 150))
-    docs = fixtures.generate_docs(spark, n_docs, seed=42)
+    docs = fixtures.generate_docs(spark, n_docs, seed=42, partitions=partitions)
     t0 = time.time()
     er.run_pipeline(spark, docs, run_dir, cfg)
     wall = time.time() - t0
@@ -218,13 +224,26 @@ def host_probe() -> float:
     return round(100.0 / max(time.time() - t0, 1e-9), 1)
 
 
+def scale_partitions(n_docs: int) -> int:
+    """Shuffle-partition count for the scaling runs, sized to the DATA and
+    therefore identical at every cluster size — the cluster model: a real
+    job targets ~128 MB per shuffle partition regardless of executor count,
+    and more executors means fewer task WAVES over the same partitions.
+    Sizing partitions to cores (the interactive default) makes the two
+    cluster sizes run different plans — the 4N run schedules 4x the tasks
+    on the same data, measuring the driver's task-launch loop instead of
+    the cluster (observed: 240k docs, 8-core 47.9 s ≈ 32-core 48.9 s)."""
+    return max(16, min(256, n_docs // 15_000))
+
+
 def scale_worker(cores: int) -> None:
     """Subprocess entry: emulate a `cores`-core cluster by pinning affinity
     BEFORE the JVM starts (inherited by executor threads + Python workers),
     then run the two scaling jobs and print one JSON line."""
     probe = host_probe()
     os.sched_setaffinity(0, set(range(cores)))
-    spark = _fresh_spark(cores)
+    n_part = scale_partitions(SCALE_DOCS)
+    spark = _fresh_spark(cores, shuffle_partitions=n_part)
     globals()["CPUS"] = cores  # partition counts follow the cluster size
     # ER runs FIRST: the score job's 32 long-lived Python workers degrade a
     # shared session's later stages (observed 6-8x slowdowns); ER-then-score
@@ -239,7 +258,8 @@ def scale_worker(cores: int) -> None:
     # bill of the 8-core run inside the measured window (observed: the
     # tokens stage anti-scaling 26s@8 -> 112s@32).  A long-lived cluster
     # executor is always warm; measure that regime.
-    bench_er(spark, max(SCALE_DOCS // 25, 2000), tempfile.mkdtemp(prefix=f"er_warm{cores}_"))
+    bench_er(spark, max(SCALE_DOCS // 25, 2000),
+             tempfile.mkdtemp(prefix=f"er_warm{cores}_"), partitions=n_part)
     # Two full-size ER passes, report the second (same cold/steady protocol
     # as the score job): the first full pass still faults heap + worker
     # pages the small warmup never touched, and under host fault-throttle
@@ -247,8 +267,10 @@ def scale_worker(cores: int) -> None:
     # 6/6 scaling samples ending in a throttled window (~7 MB/s probe),
     # turning the 32-core ER measurement into a page-fault benchmark.
     probe_pre_er = host_probe()
-    er_cold = bench_er(spark, SCALE_DOCS, tempfile.mkdtemp(prefix=f"er_cold{cores}_"))
-    er = bench_er(spark, SCALE_DOCS, tempfile.mkdtemp(prefix=f"er_scale{cores}_"))
+    er_cold = bench_er(spark, SCALE_DOCS,
+                       tempfile.mkdtemp(prefix=f"er_cold{cores}_"), partitions=n_part)
+    er = bench_er(spark, SCALE_DOCS,
+                  tempfile.mkdtemp(prefix=f"er_scale{cores}_"), partitions=n_part)
     probe_post_er = host_probe()
     _score_job(spark, cores, limit=SCALE_PAIRS // 10)  # warm JIT/Arrow/workers
     # First full pass faults every executor/worker page once — on this

@@ -34,7 +34,14 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """large-star: connect every strictly-larger neighbor of u to min(N+(u))."""
+    """large-star: connect every strictly-larger neighbor of u to min(N+(u)).
+
+    No trailing ``distinct()``: duplicate edges are absorbed for free by the
+    consumer (small-star's ``groupBy.min`` is duplicate-insensitive and its
+    own output IS deduped), and dropping it removes one full shuffle from
+    every fixpoint iteration.  Duplicate multiplicity is bounded by the
+    vertex degree — no blowup across the alternation because small-star
+    re-dedupes each round."""
     nbrs = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -45,7 +52,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
     )
     return out.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).where(F.col("u") != F.col("v")).distinct()
+    ).where(F.col("u") != F.col("v"))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -87,32 +94,62 @@ def connected_components(
         cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         num_partitions = max(1, min(cap, n_edges // 100_000 + 1))
     n_part = num_partitions
-    e = e.repartition(n_part, "u")
-    e = e.localCheckpoint(eager=True)
-    n_prev = e.count()
-    for _ in range(max_iterations):
-        e2 = _large_star(e)
-        e2 = _small_star(e2).repartition(n_part, "u")
-        e2 = e2.localCheckpoint(eager=True)
-        # converged when the edge set is stable (small-star output is always
-        # (node -> current min) star edges; stability == fixpoint).  Both
-        # sides are distinct sets, so |e2| == |e| and e2 ⊆ e ⇒ e2 == e:
-        # one cheap count over the checkpointed RDD, and the (shuffling)
-        # exceptAll probe only on iterations where the counts already agree.
-        n2 = e2.count()
-        changed = 1
-        if n2 == n_prev:
-            changed = e2.exceptAll(e).limit(1).count()
-        old = e
-        e = e2
-        n_prev = n2
-        # e2 is eagerly checkpointed and no longer references old — drop the
-        # superseded iteration's blocks NOW, not only at convergence (a
-        # 10-iteration fixpoint would otherwise hold 10 generations of the
-        # edge set in the block manager)
-        old.unpersist()
-        if changed == 0:
-            break
+    # Size EVERY shuffle inside the fixpoint to the data: each iteration is
+    # ~5 shuffles (groupBy/join ×2 + dedupe), and at the session default
+    # (4× cores) a small graph schedules hundreds of near-empty tasks per
+    # round — measured 16-22 s for a 200k-edge graph at 32 cores, pure
+    # scheduling.  On a 10^12-doc graph n_part hits the session cap and the
+    # conf is unchanged.  Restored in ``finally`` (driver-controlled loop,
+    # same pattern as AQE's own runtime coalescing — but AQE can only
+    # coalesce DOWN from the static number, paying planning cost each time).
+    conf_key = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, str(n_part))
+    try:
+        def _sig(df: DataFrame) -> tuple[int, int]:
+            """(count, order-insensitive xxhash64 sum) in ONE agg job —
+            the convergence signature.  Equal signatures ⇒ equal edge sets
+            (both sides are distinct sets of identical cardinality; a missed
+            change needs a 64-bit sum collision between two same-size edge
+            sets one iteration apart — astronomically unlikely, and a miss
+            only ends the fixpoint one round early on an almost-converged
+            graph).  Replaces the count + exceptAll two-job probe."""
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                # decimal(38,0) sum: exact (no ANSI long overflow) and
+                # order-insensitive across partitions
+                F.coalesce(
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("h"),
+            ).first()
+            return int(r["n"]), int(r["h"])
+
+        e = e.repartition(n_part, "u")
+        e = e.localCheckpoint(eager=True)
+        sig_prev = _sig(e)
+        for _ in range(max_iterations):
+            e2 = _large_star(e)
+            # no explicit repartition: small-star's trailing distinct already
+            # hash-shuffles on (u, v) at n_part — the checkpoint snapshots
+            # that layout, and the next round's groupBy re-hashes on u anyway
+            e2 = _small_star(e2)
+            e2 = e2.localCheckpoint(eager=True)
+            # converged when the edge set is stable (small-star output is
+            # always (node -> current min) star edges; stability == fixpoint)
+            sig2 = _sig(e2)
+            old = e
+            e = e2
+            # e2 is eagerly checkpointed and no longer references old — drop
+            # the superseded iteration's blocks NOW, not only at convergence
+            # (a 10-iteration fixpoint would otherwise hold 10 generations of
+            # the edge set in the block manager)
+            old.unpersist()
+            if sig2 == sig_prev:
+                break
+            sig_prev = sig2
+    finally:
+        spark.conf.set(conf_key, old_sp)
     # e is a star graph: v -> u = component root.  e's localCheckpoint blocks
     # back the returned (lazy) result — register them for release once the
     # caller has materialized it (pipeline: after the entities parquet write).
