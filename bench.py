@@ -47,7 +47,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_PAIRS", "24000000"))
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "240000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "480000"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPS", "2"))
 SCALE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_WAIT_S", "240"))
 
@@ -232,8 +232,10 @@ def scale_partitions(n_docs: int) -> int:
     Sizing partitions to cores (the interactive default) makes the two
     cluster sizes run different plans — the 4N run schedules 4x the tasks
     on the same data, measuring the driver's task-launch loop instead of
-    the cluster (observed: 240k docs, 8-core 47.9 s ≈ 32-core 48.9 s)."""
-    return max(16, min(256, n_docs // 15_000))
+    the cluster (observed: 240k docs, 8-core 47.9 s ≈ 32-core 48.9 s).
+    Floor of 4x the largest tested size (128) keeps every wave full at 32
+    cores; the data term takes over at ~2M docs."""
+    return max(128, min(1024, n_docs // 15_000))
 
 
 def scale_worker(cores: int) -> None:
@@ -266,9 +268,21 @@ def scale_worker(cores: int) -> None:
     # windows that bill serializes and scales WITH core count — observed
     # 6/6 scaling samples ending in a throttled window (~7 MB/s probe),
     # turning the 32-core ER measurement into a page-fault benchmark.
-    probe_pre_er = host_probe()
+    def wait_clean(bound_s: float = float(os.environ.get("SPARK_GRAFT_BENCH_PASS_WAIT_S", "300")), min_mb_s: float = 300.0) -> float:
+        """In-worker probe gate: throttle windows flip on minute scales, so
+        a bounded wait before each measured pass sharply raises the odds the
+        pass lands clean (the bracketing probes still record what happened)."""
+        t0 = time.time()
+        p = host_probe()
+        while p < min_mb_s and time.time() - t0 < bound_s:
+            time.sleep(15)
+            p = host_probe()
+        return p
+
+    probe_pre_er = wait_clean()
     er_cold = bench_er(spark, SCALE_DOCS,
                        tempfile.mkdtemp(prefix=f"er_cold{cores}_"), partitions=n_part)
+    probe_mid_er = wait_clean()
     er = bench_er(spark, SCALE_DOCS,
                   tempfile.mkdtemp(prefix=f"er_scale{cores}_"), partitions=n_part)
     probe_post_er = host_probe()
@@ -288,6 +302,7 @@ def scale_worker(cores: int) -> None:
                 "cores": cores,
                 "host_probe_mb_s": probe,
                 "host_probe_pre_er_mb_s": probe_pre_er,
+                "host_probe_mid_er_mb_s": probe_mid_er,
                 "host_probe_post_er_mb_s": probe_post_er,
                 "host_probe_after_mb_s": host_probe(),
                 "score_wall_s": round(t, 3),
@@ -417,6 +432,7 @@ def main() -> None:
                     "host_probe_at_launch_mb_s": s.get("host_probe_at_launch_mb_s"),
                     "host_probe_mb_s": s.get("host_probe_mb_s"),
                     "host_probe_pre_er_mb_s": s.get("host_probe_pre_er_mb_s"),
+                    "host_probe_mid_er_mb_s": s.get("host_probe_mid_er_mb_s"),
                     "host_probe_post_er_mb_s": s.get("host_probe_post_er_mb_s"),
                     "host_probe_after_mb_s": s.get("host_probe_after_mb_s"),
                 }
