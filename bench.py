@@ -332,7 +332,7 @@ def _run_worker(*args: str) -> dict:
                SPARK_GRAFT_BENCH_DOCS=str(N_DOCS))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), *args],
-        capture_output=True, text=True, env=env, timeout=1800, check=True,
+        capture_output=True, text=True, env=env, timeout=2700, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
