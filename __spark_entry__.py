@@ -98,6 +98,29 @@ def q_fuzzy_query_d2_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query", "term", F.col("distance").cast("int").alias("distance"))
 
 
+def q_fuzzy_query_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as ``fuzzy_query_d2_standard`` through the prepared
+    bucketed index (``sources/bucketed.py``): key table materialized once,
+    bucketBy(key) layout, probe-side-only shuffle, shuffle join (no probe
+    broadcast) — the large-probe-table scale path.  Reference analog: query
+    against a prebuilt ``DoubleArrayTrie`` (``double_array_trie.rs:807``)
+    instead of rebuilding per query."""
+    import tempfile
+
+    from liblevenshtein_rust_spark.sources import bucketed
+
+    tokens = _doc_tokens(spark, sf_dir)
+    bucketed.write_bucketed_index(
+        tokens, "spark_entry_bucketed_idx", n_buckets=8,
+        path=tempfile.mkdtemp(prefix="bucketed_idx_"),
+    )
+    out = bucketed.fuzzy_query_bucketed(
+        spark, _probes_df(spark), "spark_entry_bucketed_idx", 2,
+        broadcast_probes=False,
+    )
+    return out.select("query", "term", F.col("distance").cast("int").alias("distance"))
+
+
 def q_fuzzy_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_ordered + top-k (distance ASC, term ASC), k=3."""
     return matching.fuzzy_query_ordered(
@@ -709,6 +732,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_query_d2_standard": q_fuzzy_query_d2_standard,
+    "fuzzy_query_bucketed": q_fuzzy_query_bucketed,
     "fuzzy_query_topk": q_fuzzy_query_topk,
     "fuzzy_query_transposition_d1": q_fuzzy_query_transposition_d1,
     "fuzzy_query_prefix": q_fuzzy_query_prefix,
@@ -874,6 +898,15 @@ def oracle_sql() -> dict[str, str]:
     toks_prefix = _TOKS_CTE.format(probes=_PREFIX_PROBES_SQL_VALUES)
     return {
         "fuzzy_query_d2_standard": f"""
+            WITH {toks}
+            SELECT p.query, t.term, levenshtein(p.query, t.term)::INT AS distance
+            FROM probes p, toks t
+            WHERE levenshtein(p.query, t.term) <= 2
+        """,
+        # identical result contract to d2_standard — the bucketed path
+        # changes the physical plan (prebuilt bucketBy(key) index), not the
+        # semantics, so the oracle is the same linear-scan DP
+        "fuzzy_query_bucketed": f"""
             WITH {toks}
             SELECT p.query, t.term, levenshtein(p.query, t.term)::INT AS distance
             FROM probes p, toks t
