@@ -246,6 +246,7 @@ def scale_worker(cores: int) -> None:
     os.sched_setaffinity(0, set(range(cores)))
     n_part = scale_partitions(SCALE_DOCS)
     spark = _fresh_spark(cores, shuffle_partitions=n_part)
+    score_sizes = {max(CPUS // 4, 1), CPUS}  # before CPUS is re-bound below
     globals()["CPUS"] = cores  # partition counts follow the cluster size
     # ER runs FIRST: the score job's 32 long-lived Python workers degrade a
     # shared session's later stages (observed 6-8x slowdowns); ER-then-score
@@ -290,7 +291,7 @@ def scale_worker(cores: int) -> None:
     # (CPUS/4 and CPUS); at the smallest ER size it would add minutes of
     # wall for a pair nobody reads.
     t = t_cold = None
-    if cores * 4 >= CPUS:
+    if cores in score_sizes:
         _score_job(spark, cores, limit=SCALE_PAIRS // 10)  # warm JIT/Arrow
         # First full pass faults every executor/worker page once — on this
         # sandbox host, first-touch of fresh pages is 10-100x slower than
