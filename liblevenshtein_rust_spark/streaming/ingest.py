@@ -68,11 +68,14 @@ def run_incremental_ingest(
         nd, nk = incremental.incremental_update(
             d, k, upserts=batch, term_col=term_col, value_col=None, n=n
         )
-        # materialize before overwrite (sources of nd include dict_path)
-        nd_rows = nd.collect()
-        nk_rows = nk.collect()
-        spark.createDataFrame(nd_rows, nd.schema).write.mode("overwrite").parquet(dict_path)
-        spark.createDataFrame(nk_rows, nk.schema).write.mode("overwrite").parquet(key_path)
+        # nd/nk derive from the parquet being overwritten: cut lineage with
+        # an eager localCheckpoint (distributed — blocks stay on executors)
+        # so the overwrite never reads its own output.  On Iceberg this
+        # whole dance is a row-level MERGE INTO instead.
+        nd = nd.localCheckpoint(eager=True)
+        nk = nk.localCheckpoint(eager=True)
+        nd.write.mode("overwrite").parquet(dict_path)
+        nk.write.mode("overwrite").parquet(key_path)
 
     writer = (
         stream.writeStream.foreachBatch(process)
