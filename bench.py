@@ -165,8 +165,12 @@ def bench_er(spark, n_docs: int, run_dir: str, partitions: int | None = None) ->
     }
 
 
+# pair-count-suffixed so a small test invocation can never clobber the
+# shared input of a concurrently-running full-size measurement (observed:
+# a 400k-pair smoke run silently replaced the 24M-pair input mid-campaign)
 SCALE_INPUT = os.environ.get(
-    "SPARK_GRAFT_SCALE_INPUT", "/tmp/spark_graft_scale_pairs.parquet"
+    "SPARK_GRAFT_SCALE_INPUT",
+    f"/tmp/spark_graft_scale_pairs_{SCALE_PAIRS}.parquet",
 )
 
 
