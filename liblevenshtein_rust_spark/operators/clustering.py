@@ -85,14 +85,19 @@ def connected_components(
     spark = edges.sparkSession
     e = _canonical_edges(edges, src, dst)
     if num_partitions is None:
-        # size the fixpoint's partitioning to the DATA, not the cluster:
+        # size the fixpoint's partitioning to max(DATA, CLUSTER WIDTH):
         # each iteration is ~6 shuffles, and scheduling 32 near-empty
-        # partitions per shuffle makes small graphs anti-scale with cores.
-        # ~100k edges per partition keeps tasks meaningful; capped at the
-        # session shuffle parallelism so huge graphs use the full cluster.
+        # partitions per shuffle makes small graphs anti-scale with cores —
+        # but fewer partitions than cores caps the stage below the cluster
+        # width (measured: a 400k-edge graph on 4 data-sized partitions ran
+        # the entities stage at identical speed on 8 and 32 cores).
+        # ~100k edges per partition keeps tasks meaningful; floor at the
+        # cluster width so every core gets a task; capped at the session
+        # shuffle parallelism so huge graphs use the full cluster.
         n_edges = e.count()
         cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        num_partitions = max(1, min(cap, n_edges // 100_000 + 1))
+        width = spark.sparkContext.defaultParallelism
+        num_partitions = max(1, min(cap, max(width, n_edges // 100_000 + 1)))
     n_part = num_partitions
     # Size EVERY shuffle inside the fixpoint to the data: each iteration is
     # ~5 shuffles (groupBy/join ×2 + dedupe), and at the session default
@@ -125,8 +130,13 @@ def connected_components(
             ).first()
             return int(r["n"]), int(r["h"])
 
+        # LAZY localCheckpoint + signature agg = ONE job per round: the agg
+        # scans every partition, which materializes the checkpoint blocks as
+        # a side effect — an eager checkpoint would run its own job first
+        # and the signature a second (measured: 2 jobs/round -> 1 halves the
+        # fixpoint's scheduler latency, the dominant cost on small graphs).
         e = e.repartition(n_part, "u")
-        e = e.localCheckpoint(eager=True)
+        e = e.localCheckpoint(eager=False)
         sig_prev = _sig(e)
         for _ in range(max_iterations):
             e2 = _large_star(e)
@@ -134,7 +144,7 @@ def connected_components(
             # hash-shuffles on (u, v) at n_part — the checkpoint snapshots
             # that layout, and the next round's groupBy re-hashes on u anyway
             e2 = _small_star(e2)
-            e2 = e2.localCheckpoint(eager=True)
+            e2 = e2.localCheckpoint(eager=False)
             # converged when the edge set is stable (small-star output is
             # always (node -> current min) star edges; stability == fixpoint)
             sig2 = _sig(e2)

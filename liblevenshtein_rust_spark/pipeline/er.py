@@ -219,10 +219,20 @@ def run_pipeline(
     )
 
     def build_tokens() -> DataFrame:
+        from ..session import pooled_persist
+
         t = blocking.doc_tokens(docs_ck, min_len=cfg.min_token_len)
-        return blocking.rare_tokens(t, max_df=cfg.max_df)
+        # rare_tokens consumes t twice — once to build the broadcast
+        # frequent-token set (a separate broadcast-exchange job) and once as
+        # the anti-join probe side.  Without a persist the explode + distinct
+        # (the stage's whole cost) runs twice: ReuseExchange cannot span the
+        # broadcast subquery boundary (verified on the executed plan).
+        return blocking.rare_tokens(pooled_persist(t), max_df=cfg.max_df)
 
     toks = rs.stage("tokens", build_tokens, inputs=("docs",))
+    # tokens is parquet-materialized; the persisted pre-filter token table
+    # only backed the stage build
+    release_pooled()
 
     hot_stats: list = []
     tok_matches = rs.stage(
