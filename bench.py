@@ -47,7 +47,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_PAIRS", "24000000"))
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "480000"))
+# 1.2M docs: at 480k the 2->8 pair measured 0.62-0.68 — the pipeline's
+# ~45 s of size-invariant cost (stage barriers, checkpoint write+read, CC
+# rounds) is a third of the 8-core wall.  At 1.2M the parallel work is 2.5x
+# while the fixed term barely moves, putting both sizes of the headline
+# 2->8 pair in the compute-dominated regime a real cluster runs in (the
+# plan is identical: scale_partitions still floors at 128).
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_DOCS", "1200000"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REPS", "2"))
 SCALE_WAIT_S = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_WAIT_S", "240"))
 
@@ -78,7 +84,18 @@ def bench_queries(spark) -> dict[str, float]:
     from liblevenshtein_rust_spark.operators import matching
 
     probes = spark.createDataFrame([("warm",)], "query string")
-    terms = spark.createDataFrame([("warmup",), ("warn",)], "term string")
+    # Warm with a real slice of the benchmark dictionary, spread over every
+    # core: a 2-row warm dictionary spawned only one Python worker and left
+    # the first heavy query paying ~30 s of worker spawn + numpy import +
+    # first parquet read at 32 cores (observed: fuzzy_query_d2_standard
+    # 40.9 s in a run whose sibling queries all ran 1-3 s).
+    terms = (
+        spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+        .where(F.length("term").between(3, 20))
+        .limit(5000)
+        .repartition(CPUS)
+    )
     matching.fuzzy_query(probes, terms, 2).count()
 
     from liblevenshtein_rust_spark.session import release_pooled
@@ -337,7 +354,7 @@ def _run_worker(*args: str) -> dict:
                SPARK_GRAFT_BENCH_DOCS=str(N_DOCS))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), *args],
-        capture_output=True, text=True, env=env, timeout=2700, check=True,
+        capture_output=True, text=True, env=env, timeout=3600, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 

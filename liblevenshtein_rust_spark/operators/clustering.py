@@ -18,7 +18,7 @@ Semantics: returns (node, component) where component = min node id reachable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,19 +36,23 @@ def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star: connect every strictly-larger neighbor of u to min(N+(u)).
 
+    Plan shape: ONE hash exchange on ``u`` + partition-local sort (a window),
+    not groupBy-then-self-join (which exchanges the neighbor table twice per
+    round — measured as the dominant fixed cost of the fixpoint at small
+    sizes).  ``F.first("v")`` over an ascending window is the group min for
+    every row (the default frame always contains the first row).
+
     No trailing ``distinct()``: duplicate edges are absorbed for free by the
-    consumer (small-star's ``groupBy.min`` is duplicate-insensitive and its
-    own output IS deduped), and dropping it removes one full shuffle from
-    every fixpoint iteration.  Duplicate multiplicity is bounded by the
-    vertex degree — no blowup across the alternation because small-star
-    re-dedupes each round."""
+    consumer (small-star re-dedupes each round) and duplicate multiplicity
+    is bounded by the vertex degree — no blowup across the alternation."""
     nbrs = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    m = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
-    joined = nbrs.join(m, "u")
-    out = joined.where(F.col("v") > F.col("u")).select(
-        F.col("v").alias("a"), F.least("mn", F.col("u")).alias("b")
+    w = Window.partitionBy("u").orderBy("v")
+    out = (
+        nbrs.withColumn("mn", F.first("v").over(w))
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.least("mn", F.col("u")).alias("b"))
     )
     return out.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
@@ -56,14 +60,25 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """small-star: for each node, link all smaller-or-equal neighbors to the min."""
+    """small-star: for each node, link all smaller-or-equal neighbors to the
+    min.  Same one-exchange window shape as :func:`_large_star`; the per-node
+    (u -> mn) star edge rides the first row of each window group (rn == 1)
+    instead of a second groupBy+union pass."""
     directed = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    m = directed.groupBy("u").agg(F.min("v").alias("mn"))
-    joined = directed.join(m, "u")
-    out = joined.select(F.col("v").alias("a"), F.col("mn").alias("b")).unionByName(
-        m.select(F.col("u").alias("a"), F.col("mn").alias("b"))
+    w = Window.partitionBy("u").orderBy("v")
+    vm = F.struct(F.col("v").alias("a"), F.col("mn").alias("b"))
+    um = F.struct(F.col("u").alias("a"), F.col("mn").alias("b"))
+    out = (
+        directed.withColumn("mn", F.first("v").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            F.explode(
+                F.when(F.col("rn") == 1, F.array(vm, um)).otherwise(F.array(vm))
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
     )
     return out.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
@@ -76,11 +91,17 @@ def connected_components(
     dst: str = "dst",
     max_iterations: int = 20,
     num_partitions: int | None = None,
+    edge_count_hint: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges`.
 
     Isolated nodes don't appear (callers union them back with
     component = own id — see :func:`attach_singletons`).
+
+    ``edge_count_hint``: approximate |edges|, used only to size the
+    fixpoint's partitioning — callers that already know the row count (the
+    ER pipeline reads it from the upstream stage manifest) pass it to skip
+    the pre-loop sizing count job.
     """
     spark = edges.sparkSession
     e = _canonical_edges(edges, src, dst)
@@ -94,7 +115,7 @@ def connected_components(
         # ~100k edges per partition keeps tasks meaningful; floor at the
         # cluster width so every core gets a task; capped at the session
         # shuffle parallelism so huge graphs use the full cluster.
-        n_edges = e.count()
+        n_edges = edge_count_hint if edge_count_hint is not None else e.count()
         cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         width = spark.sparkContext.defaultParallelism
         num_partitions = max(1, min(cap, max(width, n_edges // 100_000 + 1)))

@@ -256,6 +256,9 @@ def run_pipeline(
         inputs=("tokens", "token_matches"),
     )
 
+    # edge count from the stage manifest just written — sizes the CC
+    # fixpoint's partitioning without a pre-loop count job over the edges
+    edges_manifest = rs.manifest("match_edges") or {}
     entities = rs.stage(
         "entities",
         lambda: clustering.cluster_matches(
@@ -265,6 +268,7 @@ def run_pipeline(
             left_col="left_id",
             right_col="right_id",
             num_partitions=cfg.num_partitions,
+            edge_count_hint=edges_manifest.get("rows"),
         ),
         inputs=("match_edges", "docs"),
     )

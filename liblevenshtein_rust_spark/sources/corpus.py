@@ -93,6 +93,15 @@ def load_word_list(spark: SparkSession, path: str, min_len: int = 1) -> DataFram
     one shuffle on the term)."""
     lines = spark.read.text(path)
     words = lines.select(F.lower(F.trim("value")).alias("term"))
-    return words.where(
+    out = words.where(
         (F.length("term") >= min_len) & F.col("term").rlike("^[a-z]+$")
     ).distinct()
+    # A word list is bytes-tiny but row-heavy, and every consumer explodes
+    # it 10-40x (blocking keys) before doing kernel work: AQE's byte-based
+    # coalescing squeezes the distinct output to ONE partition (~1 MB),
+    # serializing the whole downstream explode+join+kernel onto one core
+    # (measured: 40+ s single-task d=2 query over the 124k-word reference
+    # dictionary vs seconds when spread).  Rebalance to the cluster width —
+    # on a real multi-GB dictionary the source partitioning dominates and
+    # this one extra tiny exchange is noise.
+    return out.repartition(out.sparkSession.sparkContext.defaultParallelism)
