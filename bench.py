@@ -160,13 +160,18 @@ def bench_english_dict(spark) -> dict:
 def bench_er(spark, n_docs: int, run_dir: str, partitions: int | None = None) -> dict:
     """Full pipeline over the synthetic interleaved corpus; fresh run_dir.
 
-    ``partitions`` pins the generator's task count (data-sized, not
-    cluster-sized) so scaling runs execute the identical plan at every
-    cluster size — see :func:`scale_partitions`."""
+    ``partitions`` pins the generator's task count AND the pipeline's static
+    shuffle-partition count (data-sized, not cluster-sized) so scaling runs
+    execute the identical physical plan at every cluster size — see
+    :func:`scale_partitions` and ``ERConfig.static_shuffle_partitions``
+    (AQE's parallelism-first coalescing would otherwise re-size every
+    exchange to the local core count)."""
     from liblevenshtein_rust_spark.pipeline import er
     from liblevenshtein_rust_spark.sources import fixtures
 
-    cfg = er.ERConfig(max_df=max(10, n_docs // 150))
+    cfg = er.ERConfig(
+        max_df=max(10, n_docs // 150), static_shuffle_partitions=partitions
+    )
     docs = fixtures.generate_docs(spark, n_docs, seed=42, partitions=partitions)
     t0 = time.time()
     er.run_pipeline(spark, docs, run_dir, cfg)

@@ -85,6 +85,21 @@ def _small_star(edges: DataFrame) -> DataFrame:
     ).where(F.col("u") != F.col("v")).distinct()
 
 
+def fixpoint_partitions(spark, n_edges: int) -> int:
+    """Shuffle-partition count for the CC fixpoint and its consumers, sized
+    to max(DATA, CLUSTER WIDTH): each iteration is ~6 shuffles, and
+    scheduling hundreds of near-empty partitions per shuffle makes small
+    graphs anti-scale with cores — but fewer partitions than cores caps the
+    stage below the cluster width (measured: a 400k-edge graph on 4
+    data-sized partitions ran the entities stage at identical speed on 8 and
+    32 cores).  ~100k edges per partition keeps tasks meaningful; floor at
+    the cluster width so every core gets a task; capped at the session
+    shuffle parallelism so huge graphs use the full cluster."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    width = spark.sparkContext.defaultParallelism
+    return max(1, min(cap, max(width, n_edges // 100_000 + 1)))
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -106,19 +121,8 @@ def connected_components(
     spark = edges.sparkSession
     e = _canonical_edges(edges, src, dst)
     if num_partitions is None:
-        # size the fixpoint's partitioning to max(DATA, CLUSTER WIDTH):
-        # each iteration is ~6 shuffles, and scheduling 32 near-empty
-        # partitions per shuffle makes small graphs anti-scale with cores —
-        # but fewer partitions than cores caps the stage below the cluster
-        # width (measured: a 400k-edge graph on 4 data-sized partitions ran
-        # the entities stage at identical speed on 8 and 32 cores).
-        # ~100k edges per partition keeps tasks meaningful; floor at the
-        # cluster width so every core gets a task; capped at the session
-        # shuffle parallelism so huge graphs use the full cluster.
         n_edges = edge_count_hint if edge_count_hint is not None else e.count()
-        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-        width = spark.sparkContext.defaultParallelism
-        num_partitions = max(1, min(cap, max(width, n_edges // 100_000 + 1)))
+        num_partitions = fixpoint_partitions(spark, n_edges)
     n_part = num_partitions
     # Size EVERY shuffle inside the fixpoint to the data: each iteration is
     # ~5 shuffles (groupBy/join ×2 + dedupe), and at the session default
@@ -128,9 +132,18 @@ def connected_components(
     # conf is unchanged.  Restored in ``finally`` (driver-controlled loop,
     # same pattern as AQE's own runtime coalescing — but AQE can only
     # coalesce DOWN from the static number, paying planning cost each time).
-    conf_key = "spark.sql.shuffle.partitions"
-    old_sp = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, str(n_part))
+    # AQE off inside the loop: the rounds are windows + a distinct — no
+    # joins to re-plan, no coalescing wanted (partitions are already
+    # data-sized above) — so adaptive execution only adds a driver
+    # re-planning barrier and an extra job submission per query stage,
+    # pure per-round latency in a driver-controlled fixpoint.
+    overrides = {
+        "spark.sql.shuffle.partitions": str(n_part),
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
     try:
         def _sig(df: DataFrame) -> tuple[int, int]:
             """(count, order-insensitive xxhash64 sum) in ONE agg job —
@@ -180,7 +193,8 @@ def connected_components(
                 break
             sig_prev = sig2
     finally:
-        spark.conf.set(conf_key, old_sp)
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     # e is a star graph: v -> u = component root.  e's localCheckpoint blocks
     # back the returned (lazy) result — register them for release once the
     # caller has materialized it (pipeline: after the entities parquet write).

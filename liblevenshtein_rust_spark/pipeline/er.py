@@ -59,6 +59,16 @@ class ERConfig:
     n_salt: int = 8                  # salt groups for hot keys
     min_token_matches: int = 2       # doc-pair evidence threshold
     num_partitions: int | None = None
+    # When set, the whole pipeline runs with exactly this many shuffle
+    # partitions and AQE partition *coalescing* disabled (skew splitting
+    # stays on): the cluster model is ~128 MB per shuffle partition sized to
+    # the DATA, identical at every cluster size — locally, parallelism-first
+    # coalescing re-sizes each exchange to the current core count, so a
+    # 2-core and an 8-core run execute different physical plans and the
+    # scaling comparison measures AQE's local heuristics, not the engine
+    # (measured: match_edges coalesced to 10-13 tasks at 8 cores — 1.3 task
+    # waves, ~35% of the wall lost to wave quantization).
+    static_shuffle_partitions: int | None = None
 
 
 def vocab_token_matches(
@@ -170,28 +180,63 @@ def doc_match_edges(
     Fan-out bound: each (tok_a, tok_b) row joins <= max_df docs per side, so
     the evidence join produces <= |matches| * max_df^2 rows — linear in the
     vocabulary, never quadratic in documents.
+
+    Shuffle diet (this stage is two wide joins + a wide agg — at 10^12 docs
+    its exchanges dominate the pipeline's network bill):
+
+    - ``token_matches`` is already canonical (tok_a <= tok_b), so instead of
+      symmetrizing it (doubling the largest join input, the old shape) the
+      *doc pair* is canonicalized after the join: every unordered doc-pair ×
+      token-pair evidence combination still appears exactly once (diagonal
+      tok_a == tok_b rows are filtered to left < right; off-diagonal rows to
+      left != right, and least/greatest folds the two orientations).
+    - Evidence rows carry a precomputed ``(pair_id, w)`` — an xxhash64 of the
+      canonical token pair and its score contribution, both computed ONCE per
+      vocabulary pair instead of once per evidence row — so the wide
+      exchanges and the final agg shuffle longs + doubles, never token
+      strings or per-row length arithmetic.  countDistinct(pair_id) equals
+      countDistinct(tok_a, tok_b) up to a 64-bit collision *within one doc
+      pair's token pairs* (p < 1e-15 at max_df^2 pairs).
+    - Both joins take ``shuffle_hash`` hints: the build sides (the vocabulary
+      pair table and the token table) are the sublinear sides (Heaps' law),
+      and per-partition build size is bounded by data/num_partitions, so the
+      sort-merge sorts of the (much larger) evidence stream are pure waste
+      (measured: the two SMJ sorts were ~60% of this stage's CPU at 1.2M
+      docs; AQE skew-splitting is not needed here because per-token fan-out
+      is bounded by max_df upstream).
     """
-    sym = token_matches.unionByName(
-        token_matches.where(F.col("tok_a") != F.col("tok_b")).select(
-            F.col("tok_b").alias("tok_a"),
-            F.col("tok_a").alias("tok_b"),
-            "distance",
+    tm = token_matches.select(
+        "tok_a",
+        "tok_b",
+        F.xxhash64("tok_a", "tok_b").alias("pair_id"),
+        (
+            1.0 - F.col("distance") / F.greatest(F.length("tok_a"), F.length("tok_b"))
+        ).alias("w"),
+        (F.col("tok_a") == F.col("tok_b")).alias("diag"),
+    )
+    left = toks.select(F.col("doc_id").alias("la"), F.col("token").alias("tok_a"))
+    right = toks.select(F.col("doc_id").alias("rb"), F.col("token").alias("tok_b"))
+    ev = (
+        left.join(tm.hint("shuffle_hash"), "tok_a")
+        # project the join key + carried strings away BEFORE the next
+        # exchange: the second join shuffles only (la, tok_b, pair_id, w)
+        .select("la", "tok_b", "pair_id", "w", "diag")
+        .join(right.hint("shuffle_hash"), "tok_b")
+        .where(
+            F.when(F.col("diag"), F.col("la") < F.col("rb")).otherwise(
+                F.col("la") != F.col("rb")
+            )
+        )
+        .select(
+            F.least("la", "rb").alias("left_id"),
+            F.greatest("la", "rb").alias("right_id"),
+            "pair_id",
+            "w",
         )
     )
-    left = toks.select(F.col("doc_id").alias("left_id"), F.col("token").alias("tok_a"))
-    right = toks.select(F.col("doc_id").alias("right_id"), F.col("token").alias("tok_b"))
-    ev = (
-        left.join(sym, "tok_a")
-        .join(right, "tok_b")
-        .where(F.col("left_id") < F.col("right_id"))
-    )
     agg = ev.groupBy("left_id", "right_id").agg(
-        F.countDistinct(
-            F.least("tok_a", "tok_b"), F.greatest("tok_a", "tok_b")
-        ).alias("n_matched"),
-        F.sum(
-            1.0 - F.col("distance") / F.greatest(F.length("tok_a"), F.length("tok_b"))
-        ).alias("score"),
+        F.countDistinct("pair_id").alias("n_matched"),
+        F.sum("w").alias("score"),
     )
     return agg.where(F.col("n_matched") >= cfg.min_token_matches)
 
@@ -207,10 +252,31 @@ def run_pipeline(
     Every stage checkpoints to ``run_dir`` (see :mod:`.runstate`); a rerun
     with the same config resumes from the last completed stage.
     """
-    from ..session import release_pooled
-
     cfg = cfg or ERConfig()
     rs = Runstate(spark, run_dir, asdict(cfg))
+
+    if cfg.static_shuffle_partitions is not None:
+        # data-sized static exchanges, identical at every cluster size — see
+        # the ERConfig field comment.  Restored in the finally below.
+        overrides = {
+            "spark.sql.shuffle.partitions": str(cfg.static_shuffle_partitions),
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        saved = {k: spark.conf.get(k) for k in overrides}
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        try:
+            return _run_stages(spark, docs, rs, cfg)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+    return _run_stages(spark, docs, rs, cfg)
+
+
+def _run_stages(
+    spark: SparkSession, docs: DataFrame, rs: Runstate, cfg: ERConfig
+) -> DataFrame:
+    from ..session import release_pooled
 
     docs_ck = rs.stage(
         "docs",
@@ -259,6 +325,9 @@ def run_pipeline(
     # edge count from the stage manifest just written — sizes the CC
     # fixpoint's partitioning without a pre-loop count job over the edges
     edges_manifest = rs.manifest("match_edges") or {}
+    ent_partitions = cfg.num_partitions or clustering.fixpoint_partitions(
+        spark, edges_manifest.get("rows") or 0
+    )
     entities = rs.stage(
         "entities",
         lambda: clustering.cluster_matches(
@@ -267,10 +336,14 @@ def run_pipeline(
             id_col="doc_id",
             left_col="left_id",
             right_col="right_id",
-            num_partitions=cfg.num_partitions,
+            num_partitions=ent_partitions,
             edge_count_hint=edges_manifest.get("rows"),
         ),
         inputs=("match_edges", "docs"),
+        # the whole stage (fixpoint + singleton attach + write) runs at the
+        # fixpoint's data-sized partition count: its output is ~1 node row
+        # per input doc, far below the pipeline's static shuffle sizing
+        shuffle_partitions=ent_partitions,
     )
     # entities is parquet-materialized; drop the CC fixpoint's final
     # localCheckpoint blocks (registered by connected_components)

@@ -92,6 +92,7 @@ class Runstate:
         metrics: Callable[[DataFrame], dict] | None = None,
         partition_by: str | None = None,
         observe: dict | None = None,
+        shuffle_partitions: int | None = None,
     ) -> DataFrame:
         """Run (or resume) one stage; returns its output DataFrame.
 
@@ -105,6 +106,14 @@ class Runstate:
         unlike ``metrics`` which runs follow-up jobs on the written output.
         Prefer ``observe`` for anything expressible as an aggregate: at the
         latency floor every extra per-stage job is pure fixed cost.
+
+        ``shuffle_partitions`` scopes ``spark.sql.shuffle.partitions`` around
+        this stage's build AND write: stages whose output is far smaller than
+        their input (the CC fixpoint + singleton attach) size their own
+        exchanges to the data, and the session/pipeline default would plan
+        the stage's final exchanges at the global count (conf is read at
+        execution, which happens in the write below — an override inside the
+        build closure would be restored too early).
         """
         base, dpath, mpath = self._paths(name)
         m = self.manifest(name)
@@ -112,6 +121,28 @@ class Runstate:
             self.completed[name] = m
             return self.spark.read.parquet(dpath)
 
+        if shuffle_partitions is not None:
+            key = "spark.sql.shuffle.partitions"
+            saved = self.spark.conf.get(key)
+            self.spark.conf.set(key, str(shuffle_partitions))
+            try:
+                return self._run_stage(
+                    name, build, inputs, metrics, partition_by, observe
+                )
+            finally:
+                self.spark.conf.set(key, saved)
+        return self._run_stage(name, build, inputs, metrics, partition_by, observe)
+
+    def _run_stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        inputs: tuple[str, ...],
+        metrics: Callable[[DataFrame], dict] | None,
+        partition_by: str | None,
+        observe: dict | None,
+    ) -> DataFrame:
+        base, dpath, mpath = self._paths(name)
         if os.path.isdir(base):
             shutil.rmtree(base)
         t0 = time.time()
