@@ -264,6 +264,16 @@ def scale_partitions(n_docs: int) -> int:
     return max(128, min(1024, n_docs // 15_000))
 
 
+def _er_pass(spark, n_docs: int, prefix: str, n_part: int | None) -> dict:
+    """One disposable ER pass: checkpoint dirs are ~400 MB each and a full
+    scaling campaign runs 12+ passes — leaving them behind fills /tmp."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    try:
+        return bench_er(spark, n_docs, d, partitions=n_part)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def scale_worker(cores: int) -> None:
     """Subprocess entry: emulate a `cores`-core cluster by pinning affinity
     BEFORE the JVM starts (inherited by executor threads + Python workers),
@@ -287,8 +297,7 @@ def scale_worker(cores: int) -> None:
     # bill of the 8-core run inside the measured window (observed: the
     # tokens stage anti-scaling 26s@8 -> 112s@32).  A long-lived cluster
     # executor is always warm; measure that regime.
-    bench_er(spark, max(SCALE_DOCS // 25, 2000),
-             tempfile.mkdtemp(prefix=f"er_warm{cores}_"), partitions=n_part)
+    _er_pass(spark, max(SCALE_DOCS // 25, 2000), f"er_warm{cores}_", n_part)
     # Two full-size ER passes, report the second (same cold/steady protocol
     # as the score job): the first full pass still faults heap + worker
     # pages the small warmup never touched, and under host fault-throttle
@@ -307,11 +316,9 @@ def scale_worker(cores: int) -> None:
         return p
 
     probe_pre_er = wait_clean()
-    er_cold = bench_er(spark, SCALE_DOCS,
-                       tempfile.mkdtemp(prefix=f"er_cold{cores}_"), partitions=n_part)
+    er_cold = _er_pass(spark, SCALE_DOCS, f"er_cold{cores}_", n_part)
     probe_mid_er = wait_clean()
-    er = bench_er(spark, SCALE_DOCS,
-                  tempfile.mkdtemp(prefix=f"er_scale{cores}_"), partitions=n_part)
+    er = _er_pass(spark, SCALE_DOCS, f"er_scale{cores}_", n_part)
     probe_post_er = host_probe()
     # The score job is only measured at the sizes of its own N→4N pair
     # (CPUS/4 and CPUS); at the smallest ER size it would add minutes of
@@ -433,8 +440,11 @@ def main() -> None:
                 try:
                     s = _run_worker("--scale-worker", str(cores))
                 except Exception as exc:  # noqa: BLE001
+                    # keep the worker's stderr tail: "exit code 1" alone is
+                    # undiagnosable after the subprocess is gone
                     errors.append({"cores": cores, "rep": _rep,
-                                   "error": repr(exc)[:200]})
+                                   "error": repr(exc)[:200],
+                                   "stderr_tail": str(getattr(exc, "stderr", "") or "")[-1200:]})
                     continue
                 s["host_probe_at_launch_mb_s"] = probe_at_launch
                 samples[cores].append(s)
