@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from liblevenshtein_rust_spark.functions.phonetic import (
@@ -730,6 +730,51 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typing-session fold (ContextualCompletionEngine session semantics,
+    reference ``contextual/engine.rs:596-713``) as the batch twin of the
+    applyInPandasWithState streaming operator: a deterministic 8-event
+    program per document — insert half the word, checkpoint, insert junk,
+    undo, insert the rest, insert one char, backspace, finalize — whose
+    fold provably yields the word itself, so the oracle is exact SQL.  The
+    streaming execution (state store, restart recovery) is pytest-covered
+    (test_streaming_sessions)."""
+    from liblevenshtein_rust_spark.streaming import sessions
+
+    docs = tables.documents(spark, sf_dir)
+    w = (
+        docs.where(F.col("doc_id") < 40)
+        .select(
+            F.col("doc_id").cast("string").alias("session_id"),
+            F.regexp_extract(F.lower(F.col("text")), "[a-z]{3,}", 0).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .withColumn("k", F.greatest(F.lit(1), (F.length("word") / 2).cast("int")))
+        .withColumn("head", F.expr("substring(word, 1, k)"))
+        .withColumn("tail", F.expr("substring(word, k + 1)"))
+    )
+
+    def ev(seq: int, op: str, arg) -> DataFrame:
+        return w.select(
+            "session_id",
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            (arg if isinstance(arg, Column) else F.lit(arg)).alias("arg"),
+        )
+
+    events = (
+        ev(1, "insert", F.col("head"))
+        .unionByName(ev(2, "checkpoint", None))
+        .unionByName(ev(3, "insert", "zq"))
+        .unionByName(ev(4, "undo", None))
+        .unionByName(ev(5, "insert", F.col("tail")))
+        .unionByName(ev(6, "insert", "x"))
+        .unionByName(ev(7, "backspace", None))
+        .unionByName(ev(8, "finalize", None))
+    )
+    return sessions.session_fold(events)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_query_d2_standard": q_fuzzy_query_d2_standard,
     "fuzzy_query_bucketed": q_fuzzy_query_bucketed,
@@ -771,6 +816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phonetic_codes": q_phonetic_codes,
     "incremental_update": q_incremental_update,
     "contextual_complete": q_contextual_complete,
+    "session_fold": q_session_fold,
 }
 
 
@@ -1465,5 +1511,21 @@ def oracle_sql() -> dict[str, str]:
                             ELSE [md5(substr(t, i, 8)) FOR i IN generate_series(1, length(t) - 7)] END
                    ))[1:4], '') AS fingerprint
             FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents)
+        """,
+        # The 8-event program (insert half / checkpoint / insert junk / undo
+        # / insert rest / insert char / backspace / finalize) folds to the
+        # word itself with an empty end-of-session draft — analytically, so
+        # the oracle needs no fold machinery.
+        "session_fold": """
+            WITH w AS (
+                SELECT CAST(doc_id AS VARCHAR) AS session_id,
+                       regexp_extract(lower(text), '[a-z]{3,}') AS word
+                FROM documents WHERE doc_id < 40
+            ), s AS (SELECT * FROM w WHERE word <> '')
+            SELECT session_id, CAST(8 AS BIGINT) AS seq,
+                   'final' AS kind, word AS text FROM s
+            UNION ALL
+            SELECT session_id, CAST(8 AS BIGINT) AS seq,
+                   'draft' AS kind, '' AS text FROM s
         """,
     }

@@ -161,6 +161,33 @@ def session_updates(events: DataFrame) -> DataFrame:
     )
 
 
+def session_fold(events: DataFrame) -> DataFrame:
+    """Batch fold of session events — identical semantics to the streaming
+    operator (both call :func:`apply_events`); lets the DuckDB oracle check
+    the fold on a deterministic event program while pytest covers the
+    streaming execution (state store, restarts).  One shuffle on
+    session_id; the fold is Arrow-batched, no per-row Python."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out: list[dict[str, Any]] = []
+        for sid, g in pdf.groupby("session_id"):
+            evs = sorted(
+                zip(g["seq"].astype("int64"), g["op"], g["arg"].fillna(""))
+            )
+            draft, _cks, fin = apply_events("", [], evs)
+            last = int(g["seq"].max())
+            out.extend(
+                {"session_id": sid, "seq": int(s), "kind": "final", "text": t}
+                for s, t in fin
+            )
+            out.append(
+                {"session_id": sid, "seq": last, "kind": "draft", "text": draft}
+            )
+        return pd.DataFrame(out, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return events.groupBy("session_id").applyInPandas(fn, OUTPUT_SCHEMA)
+
+
 def stream_session_events(spark, path: str, max_files_per_trigger: int | None = None):
     """JSON-lines event source; one file per micro-batch when
     ``max_files_per_trigger=1`` (used by tests to force multi-batch runs)."""
