@@ -19,6 +19,7 @@ from liblevenshtein_rust_spark.functions.phonetic import (
 )
 from liblevenshtein_rust_spark.kernel.distances import STANDARD, TRANSPOSITION
 from liblevenshtein_rust_spark.operators import matching
+from liblevenshtein_rust_spark.operators import sampling as _sampling
 from liblevenshtein_rust_spark.sources import tables
 
 # ---------------------------------------------------------------------------
@@ -730,6 +731,74 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-bigram fraction + keep decision per doc."""
+    from liblevenshtein_rust_spark.operators import text
+
+    out = text.repetition_stats(tables.documents(spark, sf_dir), n=2, max_dup_frac=0.2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_grams",
+        "n_distinct",
+        "dup_frac",
+        "keep",
+    )
+
+
+STRATA_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+STRATA_DEFAULT_RATE = 0.1
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli corpus mix (rerun/resume-stable —
+    membership is a pure md5-prefix rule, no RNG state; see
+    ``operators/sampling``)."""
+    from liblevenshtein_rust_spark.operators import sampling
+
+    out = sampling.stratified_sample(
+        tables.documents(spark, sf_dir),
+        "source",
+        STRATA_RATES,
+        default_rate=STRATA_DEFAULT_RATE,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "source", "lang"
+    )
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup RESOLUTION: Jaccard pairs → connected components (large/
+    small-star fixpoint) → canonical survivor per cluster.  The oracle
+    replays the transitive closure as a recursive CTE (min reachable id =
+    the fixpoint's converged label)."""
+    from liblevenshtein_rust_spark.operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    out = dedup.near_dup_clusters(corpus, threshold=0.5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+        "is_canonical",
+    )
+
+
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: eval docs (doc_id % 10 == 0) sharing >= 2
+    word 3-shingles with train docs (the rest), boilerplate shingles
+    df-capped."""
+    from liblevenshtein_rust_spark.operators import dedup
+
+    docs = tables.documents(spark, sf_dir).select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 0)
+    out = dedup.contamination_overlap(train, eval_docs, min_shared=2, max_df=50)
+    return out.select(
+        F.col("eval_id").cast("bigint").alias("eval_id"),
+        F.col("train_id").cast("bigint").alias("train_id"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+    )
+
+
 def q_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typing-session fold (ContextualCompletionEngine session semantics,
     reference ``contextual/engine.rs:596-713``) as the batch twin of the
@@ -805,6 +874,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
+    "repetition_stats": q_repetition_stats,
+    "stratified_sample": q_stratified_sample,
+    "near_dup_clusters": q_near_dup_clusters,
+    "contamination_overlap": q_contamination_overlap,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1511,6 +1584,104 @@ def oracle_sql() -> dict[str, str]:
                             ELSE [md5(substr(t, i, 8)) FOR i IN generate_series(1, length(t) - 7)] END
                    ))[1:4], '') AS fingerprint
             FROM (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents)
+        """,
+        # word bigrams of normalized text; dup_frac = 1 - distinct/total
+        "repetition_stats": """
+            WITH tk AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(trim(regexp_replace(lower(text),
+                           '[^a-z0-9 ]+', ' ', 'g')), '\\s+', ' ', 'g'), ' ') AS tk
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                       CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                            ELSE [array_to_string(tk[i:i+1], ' ')
+                                  FOR i IN generate_series(1, len(tk) - 1)] END AS grams
+                FROM tk
+            ),
+            m AS (
+                SELECT doc_id, len(grams) AS n_grams,
+                       len(list_distinct(grams)) AS n_distinct,
+                       CASE WHEN len(grams) > 0
+                            THEN round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+                            ELSE 0.0 END AS dup_frac
+                FROM g
+            )
+            SELECT doc_id::BIGINT AS doc_id, n_grams::INT AS n_grams,
+                   n_distinct::INT AS n_distinct, dup_frac,
+                   (dup_frac <= 0.2)::INT AS keep
+            FROM m
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id::BIGINT AS doc_id, source, lang FROM documents
+            WHERE {_sampling.sample_rates_sql("source", STRATA_RATES, STRATA_DEFAULT_RATE, "doc_id")}
+        """,
+        # transitive closure of the jaccard pair graph as a recursive CTE:
+        # min reachable id == the large/small-star fixpoint's converged label
+        "near_dup_clusters": f"""
+            WITH RECURSIVE {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            nonempty AS (SELECT * FROM shing WHERE len(sh) > 0),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_id, c.doc_id AS right_id
+                FROM ex a JOIN ex c USING (g)
+                WHERE a.doc_id < c.doc_id
+            ),
+            paired AS (
+                SELECT cand.left_id, cand.right_id, s1.sh AS lsh, s2.sh AS rsh
+                FROM cand
+                JOIN nonempty s1 ON s1.doc_id = cand.left_id
+                JOIN nonempty s2 ON s2.doc_id = cand.right_id
+            ),
+            pairs AS (
+                SELECT left_id, right_id
+                FROM (SELECT left_id, right_id, {_JACCARD_EXPR} AS jaccard FROM paired)
+                WHERE jaccard >= 0.5
+            ),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM pairs
+                UNION
+                SELECT right_id, left_id FROM pairs
+            ),
+            reach AS (
+                SELECT a AS node, a AS root FROM edges
+                UNION
+                SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node),
+            members AS (
+                SELECT c.doc_id, coalesce(comp.cluster, c.doc_id) AS cluster
+                FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+            ),
+            qual AS (
+                SELECT doc_id,
+                       length(trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS q
+                FROM corpus
+            )
+            SELECT m.doc_id::BIGINT AS doc_id, m.cluster::BIGINT AS cluster,
+                   (row_number() OVER (PARTITION BY m.cluster
+                                       ORDER BY ql.q DESC, m.doc_id) = 1)::INT AS is_canonical
+            FROM members m JOIN qual ql USING (doc_id)
+        """,
+        "contamination_overlap": f"""
+            WITH {_SHINGLES_CTE.format(src="documents")},
+            nonempty AS (SELECT * FROM shing WHERE len(sh) > 0),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+            tex AS (SELECT doc_id AS train_id, g FROM ex WHERE doc_id % 10 <> 0),
+            eex AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 10 = 0),
+            hot AS (
+                SELECT g FROM (SELECT g, count(*) AS c FROM tex GROUP BY g)
+                WHERE c > 50
+            ),
+            kept AS (SELECT * FROM tex WHERE g NOT IN (SELECT g FROM hot))
+            SELECT eval_id::BIGINT AS eval_id, train_id::BIGINT AS train_id,
+                   count(*)::BIGINT AS n_shared
+            FROM eex JOIN kept USING (g)
+            GROUP BY eval_id, train_id
+            HAVING count(*) >= 2
         """,
         # The 8-event program (insert half / checkpoint / insert junk / undo
         # / insert rest / insert char / backspace / finalize) folds to the

@@ -626,3 +626,110 @@ def lsh_embedding_near_pairs(
         F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"),
     )
     return out.where(F.col("cos") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# 6. near-dup RESOLUTION — pairs → clusters → canonical survivor
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS and pick one
+    canonical survivor per cluster — the step a dedup pipeline actually
+    ships (pair lists alone can't drive a keep/drop decision when dups
+    chain: A~B, B~C but A!~C must still collapse to one survivor).
+
+    pairs (default: :func:`ngram_jaccard_pairs` at ``threshold``) →
+    alternating large-star/small-star connected components (the same
+    fixpoint the ER pipeline uses — cluster id = min doc id, matching the
+    reference's transitive-closure-of-matches semantics taken from
+    ``FuzzyMultiMap`` aggregation to its closure) → singletons attached →
+    canonical pick = longest normalized text, ties to the smallest id
+    (keep-the-richest-copy policy; deterministic).
+
+    Output: (doc_id, cluster, is_canonical 0/1).
+
+    Scale: the CC fixpoint shuffles (id, id) longs only; the canonical pick
+    is one windowed rank partitioned BY CLUSTER — cluster sizes are bounded
+    by the dedup radius, never corpus-sized, so no partition is hot.
+    """
+    from pyspark.sql import Window
+
+    from .clustering import attach_singletons, connected_components
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, text_col, id_col, k, threshold)
+    comps = connected_components(pairs, "left_id", "right_id")
+    comps = attach_singletons(comps, docs.select(id_col), id_col)
+    quality = docs.select(
+        F.col(id_col).alias("node"),
+        F.length(normalize_text(F.col(text_col))).alias("_q"),
+    )
+    w = Window.partitionBy("component").orderBy(F.col("_q").desc(), F.col("node"))
+    return (
+        comps.join(quality, "node")
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col("node").alias(id_col),
+            F.col("component").alias("cluster"),
+            (F.col("_rk") == 1).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. train/eval contamination detection (n-gram overlap across corpora)
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark-decontamination primitive: eval documents whose word
+    ``k``-shingles leak into the training corpus.
+
+    Output: (eval_id, train_id, n_shared) for every cross-corpus doc pair
+    sharing >= ``min_shared`` distinct shingles (shingle sets are distinct
+    per doc, so the join match count IS the intersection size — no arrays
+    cross the shuffle, same shape as :func:`ngram_jaccard_pairs`).
+
+    ``max_df`` drops shingles present in more than that many TRAIN docs
+    before the join — boilerplate k-grams ("terms of service", licence
+    headers) are both skew bombs and contamination noise; the cutoff is the
+    same rare-key guard as the ER pipeline's ``max_df``.  Dropped shingles
+    reduce ``n_shared`` for boilerplate only; the count is exact over the
+    kept shingle set (documented semantics, replayed by the oracle).
+    """
+    t = _shingle_base(train, text_col, id_col, k).select(
+        F.col("id").alias("train_id"), F.explode("sh").alias("g")
+    )
+    e = _shingle_base(eval_docs, text_col, id_col, k).select(
+        F.col("id").alias("eval_id"), F.explode("sh").alias("g")
+    )
+    if max_df is not None:
+        hot = (
+            t.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("g")
+        )
+        t = t.join(F.broadcast(hot), "g", "left_anti")
+    return (
+        e.join(t, "g")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

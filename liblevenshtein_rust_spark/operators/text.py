@@ -165,3 +165,60 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         return F.concat_ws("", F.slice(hashes, 1, k))
 
     return docs.select(F.col(id_col), let_bound(t, build).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher-style duplicate n-gram fraction)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_dup_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document repetition metrics — the Gopher-rules quality filter
+    (Rae et al. 2021 §A1.1: drop documents whose duplicate n-gram fraction
+    is high; boilerplate and generator loops repeat, prose doesn't).
+
+    Output: (doc_id, n_grams, n_distinct, dup_frac, keep 0/1) where
+    dup_frac = 1 - n_distinct/n_grams over word ``n``-grams of normalized
+    text (0.0 when the doc has fewer than ``n`` tokens).
+
+    Scale: one columnar projection per row (token split + transform +
+    array_distinct), whole-stage codegen, zero shuffle — composes with
+    `quality_features` in the same scan pass.
+    """
+    from .dedup import let_bound, normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def build(tk):
+        cnt = F.size(tk)
+        idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(1)))
+        grams = F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        )
+        total = F.size(grams)
+        distinct = F.size(F.array_distinct(grams))
+        dup = F.when(total > 0, F.round(1.0 - distinct / total, 6)).otherwise(
+            F.lit(0.0)
+        )
+        return F.struct(
+            total.cast("int").alias("n_grams"),
+            distinct.cast("int").alias("n_distinct"),
+            dup.alias("dup_frac"),
+        )
+
+    return (
+        docs.select(F.col(id_col), let_bound(toks, build).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.n_grams").alias("n_grams"),
+            F.col("_s.n_distinct").alias("n_distinct"),
+            F.col("_s.dup_frac").alias("dup_frac"),
+            (F.col("_s.dup_frac") <= max_dup_frac).cast("int").alias("keep"),
+        )
+    )

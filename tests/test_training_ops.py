@@ -1,0 +1,162 @@
+"""Semantics tests for the round-2 training-data-pipeline additions:
+near-dup cluster resolution, contamination detection, deterministic
+stratified sampling, and intra-doc repetition stats — controlled inputs
+where the expected answer is known analytically (the DuckDB oracle
+additionally value-checks each on the sf0.01 corpus)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from liblevenshtein_rust_spark.operators import dedup, sampling, text
+from liblevenshtein_rust_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark("test_training_ops", cores=4, shuffle_partitions=4)
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def test_near_dup_clusters_chain_and_canonical(spark):
+    """A~B and B~C chain into ONE cluster even when A!~C directly; the
+    canonical survivor is the longest normalized text."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " extra tail words here"),   # longest -> canonical
+            (2, base + " extra tail words"),        # near 1 and 3
+            (3, base + " extra tail"),              # near 2, farther from 1
+            (10, "completely different text about unrelated topics entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.near_dup_clusters(docs, threshold=0.5).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # chain collapses to one cluster labeled by the min id
+    assert by_id[1]["cluster"] == by_id[2]["cluster"] == by_id[3]["cluster"] == 1
+    # singleton keeps its own id and is its own canonical
+    assert by_id[10]["cluster"] == 10 and by_id[10]["is_canonical"] == 1
+    # exactly one canonical per cluster; it is the longest member
+    canon = [r["doc_id"] for r in out if r["cluster"] == 1 and r["is_canonical"]]
+    assert canon == [1]
+
+
+def test_near_dup_clusters_accepts_precomputed_pairs(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(5)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (3, 4)], "left_id long, right_id long"
+    )
+    out = dedup.near_dup_clusters(docs, pairs=pairs).collect()
+    clusters = {r["doc_id"]: r["cluster"] for r in out}
+    assert clusters == {0: 0, 1: 0, 2: 2, 3: 3, 4: 3}
+
+
+# ---------------------------------------------------------------------------
+# contamination detection
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_finds_planted_leak(spark):
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, "training document with " + leak + " inside the middle"),
+            (2, "clean training document about something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [
+            (100, leak),
+            (101, "an evaluation document with no overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.contamination_overlap(
+        train, eval_docs, min_shared=2, max_df=None
+    ).collect()
+    hits = {(r["eval_id"], r["train_id"]): r["n_shared"] for r in rows}
+    assert (100, 1) in hits and hits[(100, 1)] >= 5
+    assert all(e != 101 for e, _ in hits)
+
+
+def test_contamination_df_cap_drops_boilerplate(spark):
+    boiler = "all rights reserved standard license header text"
+    train = spark.createDataFrame(
+        [(i, boiler) for i in range(20)], "doc_id long, text string"
+    )
+    eval_docs = spark.createDataFrame([(100, boiler)], "doc_id long, text string")
+    # every shingle appears in 20 train docs; cap at 10 kills them all
+    assert (
+        dedup.contamination_overlap(train, eval_docs, min_shared=1, max_df=10).count()
+        == 0
+    )
+    assert (
+        dedup.contamination_overlap(train, eval_docs, min_shared=1, max_df=None).count()
+        == 20
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), "x") for i in range(2000)],
+        "doc_id long, source string, text string",
+    )
+    rates = {"s0": 0.5, "s1": 0.0}
+    a = sampling.stratified_sample(docs, "source", rates, id_col="doc_id")
+    b = sampling.stratified_sample(
+        docs.repartition(7), "source", rates, id_col="doc_id"
+    )
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(r["doc_id"] for r in b.collect())
+    # identical under different partitioning (rerun/resume stability)
+    assert ids_a == ids_b
+    # stratum with rate 0 contributes nothing; rate .5 lands near 500/1000
+    assert all(i % 2 == 0 for i in ids_a)
+    assert 400 <= len(ids_a) <= 600
+    # default_rate covers unmapped strata
+    none_kept = sampling.stratified_sample(
+        docs, "source", {}, default_rate=0.0
+    ).count()
+    assert none_kept == 0
+
+
+def test_rate_threshold_hex_bounds():
+    assert sampling.rate_threshold_hex(0.0) == "00000000"
+    assert sampling.rate_threshold_hex(1.0) == "ffffffff"
+    assert sampling.rate_threshold_hex(0.5) == "80000000"
+    assert sampling.rate_threshold_hex(2.0) == "ffffffff"  # clamped
+
+
+# ---------------------------------------------------------------------------
+# repetition stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_gopher_rule(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),        # 5 bigrams, 1 distinct
+            (2, "one two three four five six"),           # all distinct
+            (3, "tiny"),                                   # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.repetition_stats(docs, n=2).collect()}
+    assert rows[1]["n_grams"] == 5 and rows[1]["n_distinct"] == 1
+    assert rows[1]["dup_frac"] == 0.8 and rows[1]["keep"] == 0
+    assert rows[2]["dup_frac"] == 0.0 and rows[2]["keep"] == 1
+    assert rows[3]["n_grams"] == 0 and rows[3]["dup_frac"] == 0.0
