@@ -577,7 +577,7 @@ def compact_result(result: dict) -> dict:
     headline land at the END of the serialized line (the part a bounded
     stdout tail preserves)."""
     out: dict = {"sf": result.get("sf")}
-    out["queries"] = {k: round(v, 2) for k, v in result["queries"].items()}
+    out["queries"] = {k: round(v, 1) for k, v in result["queries"].items()}
     er = result.get("er", {})
     out["er"] = {
         k: er[k]
@@ -607,6 +607,15 @@ def compact_result(result: dict) -> dict:
         }
     for k in ("metric", "value", "unit"):
         out[k] = result[k]
+    # hard guard on the ~1900-char stdout contract: if the query inventory
+    # has grown past it, collapse the per-query walls (full set stays in
+    # BENCH_DETAIL.json) rather than let the tail-truncated line fail to parse
+    if len(json.dumps(out, separators=(",", ":"))) > 1850:
+        out["queries"] = {
+            "n": len(result["queries"]),
+            "total_s": round(sum(result["queries"].values()), 1),
+            "detail": "BENCH_DETAIL.json",
+        }
     return out
 
 
