@@ -100,9 +100,20 @@ def vocab_token_matches(
     # self-join sides); without persisting, the O(len^2)-per-token deletion
     # expression is recomputed for each — persist once, reuse everywhere
     # (pooled: run_pipeline releases after the stage checkpoint is written).
+    #
+    # Hash-partition by `key` BEFORE the persist: the self-join's two sides
+    # are alias-projections of this same table, which Spark treats as
+    # distinct plans — ReuseExchange can't collapse them, so each side paid
+    # its own full exchange and the join re-read both (measured at 1.2M
+    # docs: 2 x 2.2 GB shuffle writes + a 4.4 GB shuffle read — the
+    # pipeline's single largest cost center).  With the cache already
+    # HashPartitioning(key), the pre-count aggregate, the extreme anti-join
+    # probe side, and BOTH self-join sides satisfy the join's distribution
+    # requirement straight from cached partitions: one data-sized exchange
+    # total, paid at materialization.
     from ..session import pooled_persist
 
-    keyed = pooled_persist(keyed)
+    keyed = pooled_persist(keyed.repartition("key"))
     # skew guard on the vocab self-join: a deletion variant shared by
     # thousands of tokens (e.g. every 3-char fragment) explodes quadratically
     # The per-key fan-out table feeds three consumers (hot set, extreme set,
@@ -134,7 +145,13 @@ def vocab_token_matches(
         # hot-key fixtures and tests.
         cl = keyed.select("key", F.col("token").alias("left_id"))
         cr = keyed.select("key", F.col("token").alias("right_id"))
-        raw = cl.join(cr, "key").where(F.col("left_id") < F.col("right_id"))
+        # shuffle_hash: both sides arrive co-partitioned from the cache, so
+        # the hint only swaps the per-partition algorithm — a build-side hash
+        # map instead of sorting BOTH sides (SMJ), with partition size
+        # bounded by data/num_partitions
+        raw = cl.join(cr.hint("shuffle_hash"), "key").where(
+            F.col("left_id") < F.col("right_id")
+        )
     else:
         hot = counts.where(
             (F.col("n_toks") > cfg.hot_key_threshold)

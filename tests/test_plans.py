@@ -98,3 +98,33 @@ def test_length_prefilter_below_kernel(spark):
     # optimized plan is printed top-down: the length filter must be BELOW
     # (after in text) the kernel projection — i.e. evaluated earlier
     assert len_pos > kernel_pos
+
+
+def test_vocab_self_join_consumes_one_cached_exchange(spark):
+    """The ER vocab self-join's two sides are alias-projections of the same
+    keyed table; as distinct plans they defeat ReuseExchange, so each side
+    used to pay its own full exchange (measured 2 x 2.2 GB at 1.2M docs)
+    plus the join's 4.4 GB read.  The fix repartitions by key ONCE before
+    the persist — both join sides must be InMemoryTableScans with NO
+    Exchange between cache and join, and the join must be the sort-free
+    ShuffledHashJoin."""
+    from liblevenshtein_rust_spark.pipeline import er
+    from liblevenshtein_rust_spark.sources import fixtures
+
+    docs = fixtures.generate_docs(spark, 300, seed=7, partitions=4)
+    toks = blocking.rare_tokens(
+        blocking.doc_tokens(docs, min_len=3), max_df=50
+    )
+    tm = er.vocab_token_matches(toks, er.ERConfig(max_df=50))
+    tm.count()
+    plan = _plan(tm)
+    join_pos = plan.find("ShuffledHashJoin")
+    assert join_pos != -1, "cold self-join should be a ShuffledHashJoin"
+    # the join subtree: from the join line to the first InMemoryRelation
+    # (the cached build plan reprint); no exchange may appear in between
+    sub = plan[join_pos : plan.find("InMemoryRelation", join_pos)]
+    assert "Exchange" not in sub
+    assert sub.count("InMemoryTableScan") >= 1
+    from liblevenshtein_rust_spark.session import release_pooled
+
+    release_pooled()
