@@ -217,16 +217,6 @@ def minhash_lsh_pairs(
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    # One data-sized exchange on the bucket key, cached: the hot-count
-    # aggregate, the anti-join probe side, and BOTH bucket self-join sides
-    # all consume the cached HashPartitioning directly.  Without this the
-    # aliased self-join sides each paid a full exchange (ReuseExchange can't
-    # collapse alias-differing plans) and the signature build re-ran under
-    # the broadcast-subquery boundary (same lesson as the ER key table —
-    # pipeline/er.py vocab_token_matches).
-    from ..session import pooled_persist
-
-    banded = pooled_persist(banded.repartition("band", "bucket"))
 
     counts = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
     hot = counts.where(F.col("n") > max_bucket).select("band", "bucket")
@@ -419,9 +409,6 @@ def simhash_near_pairs(
             )
         ).alias("qk"),
     ).select(id_col, "simhash", F.col("qk.q").alias("q"), F.col("qk.qv").alias("qv"))
-    # single exchange on the quarter key, shared by both aliased self-join
-    # sides (see minhash_lsh_pairs)
-    quarters = pooled_persist(quarters.repartition("q", "qv"))
     left = quarters.select(
         "q", "qv", F.col(id_col).alias("left_id"), F.col("simhash").alias("lh")
     )
@@ -463,14 +450,8 @@ def ngram_jaccard_pairs(
     base = _shingle_base(docs, text_col, id_col, k)
     # one exploded self-join computes BOTH the blocking and the intersection
     # size (shingles are distinct per doc, so the match count per pair IS
-    # |A ∩ B|); no arrays cross the shuffle, no second pass.  The exploded
-    # table is repartitioned by the join key once and cached so the aliased
-    # self-join sides share that single exchange (see minhash_lsh_pairs).
-    from ..session import pooled_persist
-
-    ex = pooled_persist(
-        base.select("id", F.explode("sh").alias("g")).repartition("g")
-    )
+    # |A ∩ B|); no arrays cross the shuffle, no second pass
+    ex = base.select("id", F.explode("sh").alias("g"))
     sizes = base.select("id", F.size("sh").alias("sz"))
     left = ex.select("g", F.col("id").alias("left_id"))
     right = ex.select("g", F.col("id").alias("right_id"))
