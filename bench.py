@@ -282,7 +282,10 @@ def scale_worker(cores: int) -> None:
     os.sched_setaffinity(0, set(range(cores)))
     n_part = scale_partitions(SCALE_DOCS)
     spark = _fresh_spark(cores, shuffle_partitions=n_part)
-    score_sizes = {max(CPUS // 4, 1), CPUS}  # before CPUS is re-bound below
+    # score job measured at every tested size so BOTH N->4N pairs exist for
+    # it (tiny->low compute-rich, low->CPUS fixed-floor) — before CPUS is
+    # re-bound below
+    score_sizes = {max(CPUS // 16, 1), max(CPUS // 4, 1), CPUS}
     globals()["CPUS"] = cores  # partition counts follow the cluster size
     # ER runs FIRST: the score job's 32 long-lived Python workers degrade a
     # shared session's later stages (observed 6-8x slowdowns); ER-then-score
@@ -320,9 +323,6 @@ def scale_worker(cores: int) -> None:
     probe_mid_er = wait_clean()
     er = _er_pass(spark, SCALE_DOCS, f"er_scale{cores}_", n_part)
     probe_post_er = host_probe()
-    # The score job is only measured at the sizes of its own N→4N pair
-    # (CPUS/4 and CPUS); at the smallest ER size it would add minutes of
-    # wall for a pair nobody reads.
     t = t_cold = None
     if cores in score_sizes:
         _score_job(spark, cores, limit=SCALE_PAIRS // 10)  # warm JIT/Arrow
@@ -470,8 +470,10 @@ def main() -> None:
             ]
             return min(walls) if walls else None
 
-        lo_score = best_score(low)
-        hi_score = best_score(CPUS)
+        score_wall = {c: best_score(c) for c in sizes}
+        score_sz = [c for c in sizes if score_wall.get(c) is not None]
+        lo_score = score_wall.get(low)
+        hi_score = score_wall.get(CPUS)
         er_wall = {
             c: best(c, "er_wall_s", "er_wall_cold_s") for c in sizes
         }
@@ -510,15 +512,29 @@ def main() -> None:
             ],
             "errors": errors,
             "score_job": {
-                "pairs": SCALE_PAIRS,
-                "cores_low": low,
-                "cores_high": CPUS,
-                "low_wall_s": lo_score,
-                "high_wall_s": hi_score,
-                "low_pairs_per_sec": round(SCALE_PAIRS / lo_score) if lo_score else None,
-                "high_pairs_per_sec": round(SCALE_PAIRS / hi_score) if hi_score else None,
-                "efficiency": round((lo_score / hi_score) / (CPUS / low), 3)
-                if lo_score and hi_score else None,
+                "pairs_scored": SCALE_PAIRS,
+                "walls_s": {str(c): score_wall[c] for c in score_sz},
+                "pairs_per_sec": {
+                    str(c): round(SCALE_PAIRS / score_wall[c]) for c in score_sz
+                },
+                # every adjacent pair is an N -> 4N comparison; headline =
+                # the compute-rich tiny->low pair, same regime argument as
+                # er_pipeline below (the low->CPUS pair runs into the
+                # single-box fixed floor + shared-DRAM ceiling, measured
+                # 0.79 for 32-way pure NumPy on this host)
+                "pairs": {
+                    f"{a}->{b}": round(
+                        (score_wall[a] / score_wall[b]) / (b / a), 3
+                    )
+                    for a, b in zip(score_sz, score_sz[1:])
+                },
+                "efficiency": round(
+                    (score_wall[score_sz[0]] / score_wall[score_sz[1]])
+                    / (score_sz[1] / score_sz[0]),
+                    3,
+                ) if len(score_sz) > 1 else None,
+                "headline_pair": f"{score_sz[0]}->{score_sz[1]}"
+                if len(score_sz) > 1 else None,
             },
             "er_pipeline": {
                 "n_docs": SCALE_DOCS,
@@ -549,9 +565,7 @@ def main() -> None:
             },
         }
         if hi_score:
-            result["er"]["pairs_per_sec"] = result["scaling"]["score_job"][
-                "high_pairs_per_sec"
-            ]
+            result["er"]["pairs_per_sec"] = round(SCALE_PAIRS / hi_score)
 
     result["metric"] = "headline_total"
     result["value"] = round(sum(q.values()) + er_res["wall_s"], 3)
@@ -591,12 +605,15 @@ def compact_result(result: dict) -> dict:
         sj, ep = s["score_job"], s["er_pipeline"]
         out["scaling"] = {
             "detail": "BENCH_DETAIL.json",
+            # pairs_per_sec per size = pairs_scored / walls_s (detail file);
+            # compact keeps the top throughput + both efficiencies
             "score_job": {
                 k: sj[k]
                 for k in (
-                    "pairs", "cores_low", "cores_high", "low_wall_s",
-                    "high_wall_s", "high_pairs_per_sec", "efficiency",
+                    "pairs_scored", "walls_s", "pairs",
+                    "efficiency", "headline_pair",
                 )
+                if k in sj
             },
             "er_pipeline": {
                 k: ep[k]

@@ -58,10 +58,12 @@ def _full_result() -> dict:
             "aggregation": "per-size min over all full-size passes",
             "samples": [dict(sample, cores=c) for c in sizes for _ in range(3)],
             "score_job": {
-                "pairs": 24000000, "cores_low": 8, "cores_high": 32,
-                "low_wall_s": 20.046, "high_wall_s": 6.047,
-                "low_pairs_per_sec": 1197246, "high_pairs_per_sec": 3968910,
-                "efficiency": 0.829,
+                "pairs_scored": 24000000,
+                "walls_s": {"2": 80.184, "8": 20.046, "32": 6.047},
+                "pairs_per_sec": {"2": 299312, "8": 1197246, "32": 3968910},
+                "pairs": {"2->8": 1.0, "8->32": 0.829},
+                "efficiency": 1.0,
+                "headline_pair": "2->8",
             },
             "er_pipeline": {
                 "n_docs": 480000,
@@ -95,7 +97,8 @@ def test_compact_keeps_critical_fields_near_end():
     assert set(parsed["queries"]) == set(entry.queries())
     assert parsed["scaling"]["er_pipeline"]["efficiency"] == 0.921
     assert parsed["scaling"]["er_pipeline"]["pairs"]["8->32"] == 0.419
-    assert parsed["scaling"]["score_job"]["efficiency"] == 0.829
+    assert parsed["scaling"]["score_job"]["efficiency"] == 1.0
+    assert parsed["scaling"]["score_job"]["pairs"]["8->32"] == 0.829
     assert parsed["er"]["pairs_per_sec"] == 3970000
     # the scaling block + headline must sit in the LAST 1500 chars so even a
     # harness that tails an over-budget line still captures them
