@@ -745,6 +745,35 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / phones / IPv4 → tags + per-kind counts).  The
+    synthetic corpus contains no natural PII, so the query plants one of
+    each deterministically per document — the redaction path, the
+    sequential count-then-replace semantics, and the planted values are all
+    replayed verbatim by the oracle."""
+    from liblevenshtein_rust_spark.operators import text
+
+    docs = tables.documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return text.redact_pii(docs).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        "clean_text",
+    )
+
+
 STRATA_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 STRATA_DEFAULT_RATE = 0.1
 
@@ -875,6 +904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_stats": q_repetition_stats,
+    "pii_redaction": q_pii_redaction,
     "stratified_sample": q_stratified_sample,
     "near_dup_clusters": q_near_dup_clusters,
     "contamination_overlap": q_contamination_overlap,
@@ -1010,6 +1040,42 @@ _QUALITY_STOPWORDS_SQL = (
     "'at','by','an','be','this','from','or','are','was','but','not','you',"
     "'all','we','he','she','they','i']"
 )
+
+
+def _pii_redaction_sql() -> str:
+    """DuckDB twin of q_pii_redaction, generated from the operator's own
+    PII_PATTERNS so the regexes and ordering can never drift."""
+    from liblevenshtein_rust_spark.operators.text import PII_PATTERNS
+
+    sql = """
+        WITH s0 AS (
+            SELECT doc_id,
+                   text || ' contact u' || CAST(doc_id AS VARCHAR)
+                        || '@example.com tel 555-010-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        AS t
+            FROM documents
+        )"""
+    prev = "s0"
+    carried: list[str] = []
+    for i, (name, pat, tag) in enumerate(PII_PATTERNS, start=1):
+        lit = pat.replace("'", "''")
+        keep = ", ".join(carried) + ", " if carried else ""
+        sql += f""",
+        s{i} AS (
+            SELECT doc_id, {keep}
+                   len(regexp_extract_all(t, '{lit}'))::INT AS n_{name},
+                   regexp_replace(t, '{lit}', '{tag}', 'g') AS t
+            FROM {prev}
+        )"""
+        prev = f"s{i}"
+        carried.append(f"n_{name}")
+    cols = ", ".join(carried)
+    sql += f"""
+        SELECT doc_id::BIGINT AS doc_id, {cols}, t AS clean_text FROM {prev}
+    """
+    return sql
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1613,6 +1679,9 @@ def oracle_sql() -> dict[str, str]:
                    (dup_frac <= 0.2)::INT AS keep
             FROM m
         """,
+        # built from the SAME PII_PATTERNS tuple the operator uses (regex
+        # subset shared by Java and RE2), sequential count-then-replace
+        "pii_redaction": _pii_redaction_sql(),
         "stratified_sample": f"""
             SELECT doc_id::BIGINT AS doc_id, source, lang FROM documents
             WHERE {_sampling.sample_rates_sql("source", STRATA_RATES, STRATA_DEFAULT_RATE, "doc_id")}

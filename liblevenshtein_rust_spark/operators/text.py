@@ -168,6 +168,40 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (emails, phone numbers, IPv4 addresses)
+# ---------------------------------------------------------------------------
+
+# Applied IN ORDER, each pattern counted on the text AFTER the previous
+# replacements (so e.g. a dotted phone number can never double-count as an
+# IPv4).  Patterns deliberately use only the regex subset shared by Java
+# (Spark) and RE2 (DuckDB): classes, bounded repeats, \b, \d — no
+# lookaround, no backrefs — so the oracle replays them verbatim.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub PII spans from text before training — the privacy pass every
+    production corpus pipeline runs (C4 and The Pile both ship redaction
+    variants).  Output: (doc_id, n_email, n_phone, n_ipv4, clean_text).
+
+    Scale: like the other text ops this is one narrow codegen projection
+    fused into the scan — zero shuffle, composes with quality/repetition
+    filters in the same pass.  Counts are emitted so downstream policy can
+    drop PII-dense documents instead of just masking them.
+    """
+    t = F.col(text_col)
+    counts = []
+    for name, pat, tag in PII_PATTERNS:
+        counts.append(F.regexp_count(t, F.lit(pat)).cast("int").alias(f"n_{name}"))
+        t = F.regexp_replace(t, pat, tag)
+    return docs.select(F.col(id_col), *counts, t.alias("clean_text"))
+
+
+# ---------------------------------------------------------------------------
 # intra-document repetition (Gopher-style duplicate n-gram fraction)
 # ---------------------------------------------------------------------------
 

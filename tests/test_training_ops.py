@@ -160,3 +160,32 @@ def test_repetition_stats_gopher_rule(spark):
     assert rows[1]["dup_frac"] == 0.8 and rows[1]["keep"] == 0
     assert rows[2]["dup_frac"] == 0.0 and rows[2]["keep"] == 1
     assert rows[3]["n_grams"] == 0 and rows[3]["dup_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_counts_and_masks(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@corp.example.org now"),
+            (2, "call 555-010-1234 or 555.010.9876 today"),
+            (3, "server 10.0.0.7 and 192.168.001.255 up"),
+            (4, "clean text with no identifiers at all"),
+            (5, "a@b.io via 10.1.2.3 ring 555-010-0000"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.redact_pii(docs).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["clean_text"] == "mail <EMAIL> now"
+    # dotted phone is consumed by the phone pass, never counted as an IP
+    assert rows[2]["n_phone"] == 2 and rows[2]["n_ipv4"] == 0
+    assert rows[2]["clean_text"] == "call <PHONE> or <PHONE> today"
+    assert rows[3]["n_ipv4"] == 2
+    assert rows[3]["clean_text"] == "server <IPV4> and <IPV4> up"
+    assert rows[4]["n_email"] == rows[4]["n_phone"] == rows[4]["n_ipv4"] == 0
+    assert rows[4]["clean_text"] == "clean text with no identifiers at all"
+    assert (rows[5]["n_email"], rows[5]["n_phone"], rows[5]["n_ipv4"]) == (1, 1, 1)
+    assert rows[5]["clean_text"] == "<EMAIL> via <IPV4> ring <PHONE>"
