@@ -110,6 +110,17 @@ def cmd_delete(spark, args) -> None:
     print(f"deleted {len(args.term)} terms")
 
 
+def cmd_clear(spark, args) -> None:
+    """``Commands::Clear`` (``cli/args.rs``) — empty the dictionary while
+    keeping it queryable: write a zero-row table with the SAME schema (an
+    immutable-table truncate; the reference mutates in place, Spark rewrites
+    the snapshot — on Iceberg this is ``TRUNCATE TABLE``, one metadata op)."""
+    d = _read(spark, args.dict, args.format, args.term_col)
+    out = d.limit(0)
+    _write(out, args.output or args.dict + ".out", args.format, args.term_col)
+    print(json.dumps({"rows_in": d.count(), "rows_out": 0}))
+
+
 def cmd_minimize(spark, args) -> None:
     """``Commands::Minimize`` (``cli/args.rs``) — the reference minimizes a
     DAWG by merging equivalent suffixes; the columnar analog is *table
@@ -184,6 +195,12 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--to-format", default="parquet")
     c.add_argument("--term-col", default="term")
 
+    cl = sub.add_parser("clear")
+    cl.add_argument("--dict", required=True)
+    cl.add_argument("--output", default=None)
+    cl.add_argument("--format", default="parquet")
+    cl.add_argument("--term-col", default="term")
+
     for name in ("upsert", "delete"):
         s = sub.add_parser(name)
         s.add_argument("--dict", required=True)
@@ -215,6 +232,7 @@ COMMANDS = {
     "convert": cmd_convert,
     "upsert": cmd_upsert,
     "delete": cmd_delete,
+    "clear": cmd_clear,
     "minimize": cmd_minimize,
     "er": cmd_er,
 }

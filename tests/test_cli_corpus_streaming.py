@@ -103,6 +103,22 @@ def test_cli_minimize(spark, tmp_path, capsys):
     assert got == sorted(got)  # single sorted file: scan order == term order
 
 
+def test_cli_clear(spark, tmp_path, capsys):
+    """Clear = snapshot truncate: zero rows, schema preserved, still
+    queryable (the reference's ``Commands::Clear`` over an immutable table)."""
+    src = str(tmp_path / "full.parquet")
+    spark.createDataFrame([("alpha",), ("beta",)], "term string").write.parquet(src)
+    out = str(tmp_path / "cleared.parquet")
+    cli.COMMANDS["clear"](
+        spark,
+        cli.build_parser().parse_args(["clear", "--dict", src, "--output", out]),
+    )
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["rows_in"] == 2 and stats["rows_out"] == 0
+    back = spark.read.parquet(out)
+    assert back.count() == 0 and back.columns == ["term"]
+
+
 # ---------------------------------------------------------------------------
 # corpus parsers
 # ---------------------------------------------------------------------------
