@@ -194,7 +194,6 @@ def _batch_distance_impl(
     W = 2 * n + 1  # band width; offsets t = j - i in [-n, n], k = t + n
     INF = np.int16(n + 1)
     max_q = int(qlen.max()) if batch else 0
-    max_t = int(tlen.max()) if batch else 0
 
     # Active-row scheduling: sort rows by query length (desc) so band
     # iteration i runs only over the prefix of rows still inside their query
