@@ -125,3 +125,29 @@ def test_substring_query_much_longer_than_terms():
     want = [substring_distance(q, t) for q, t in zip(qs, ts)]
     want = [d if d <= 1 else -1 for d in want]
     assert got.tolist() == want
+
+
+def test_active_row_scatter_preserves_order():
+    """Regression for active-row scheduling: the kernel sorts rows by query
+    length internally and must scatter results back to input order — a batch
+    deliberately arranged shortest-first (the worst case for the sort) with
+    per-row expected values."""
+    qs = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "kitten"]
+    ts = ["a", "a", "ba", "abc", "abcdx", "xbcde", "abc", "sitting"]
+    exp = [(d if (d := distance(q, t, "standard")) <= 2 else -1)
+           for q, t in zip(qs, ts)]
+    got = batch_distance(qs, ts, 2, "standard")
+    assert got.tolist() == exp
+    # and under transposition with the pair order reversed (longest first)
+    got_r = batch_distance(qs[::-1], ts[::-1], 2, "transposition")
+    exp_r = [(d if (d := distance(q, t, "transposition")) <= 2 else -1)
+             for q, t in zip(qs[::-1], ts[::-1])]
+    assert got_r.tolist() == exp_r
+
+
+def test_batch_allowed_subs_directional():
+    """allowed_subs entries are (term_char, query_char): query 'b' matches
+    term 'a' at zero cost, but NOT the reverse direction."""
+    subs = frozenset({("a", "b")})
+    got = batch_distance(["b", "a"], ["a", "b"], 1, "standard", allowed_subs=subs)
+    assert got.tolist() == [0, 1]
