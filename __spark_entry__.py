@@ -811,6 +811,39 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship MERGE on top of near-dup resolution: one consolidated
+    golden record per duplicate cluster (canonical member + merged evidence
+    from every member).  The oracle replays the same recursive-CTE closure
+    as ``near_dup_clusters`` and aggregates per cluster."""
+    from liblevenshtein_rust_spark.operators import dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    return dedup.golden_records(corpus, threshold=0.5)
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (reduction ratio + pairs completeness)
+    for word-3-shingle keys against the planted duplicate truth pairs —
+    the metric pair a blocking design review runs before shipping a
+    scheme.  Truth = each planted copy matched to its source doc."""
+    from liblevenshtein_rust_spark.operators import blocking, dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "doc_id", F.explode(dedup.word_shingles(F.col("text"), 3)).alias("key")
+    )
+    truth = (
+        tables.documents(spark, sf_dir)
+        .where(F.col("doc_id") < 2000)
+        .select(
+            F.col("doc_id").cast("bigint").alias("left_id"),
+            (F.col("doc_id") + 100000).cast("bigint").alias("right_id"),
+        )
+    )
+    return blocking.blocking_quality(corpus, truth, keyed)
+
+
 def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: eval docs (doc_id % 10 == 0) sharing >= 2
     word 3-shingles with train docs (the rest), boilerplate shingles
@@ -907,6 +940,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "stratified_sample": q_stratified_sample,
     "near_dup_clusters": q_near_dup_clusters,
+    "golden_records": q_golden_records,
+    "blocking_quality": q_blocking_quality,
     "contamination_overlap": q_contamination_overlap,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
@@ -1734,6 +1769,92 @@ def oracle_sql() -> dict[str, str]:
                    (row_number() OVER (PARTITION BY m.cluster
                                        ORDER BY ql.q DESC, m.doc_id) = 1)::INT AS is_canonical
             FROM members m JOIN qual ql USING (doc_id)
+        """,
+        "golden_records": f"""
+            WITH RECURSIVE {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            nonempty AS (SELECT * FROM shing WHERE len(sh) > 0),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_id, c.doc_id AS right_id
+                FROM ex a JOIN ex c USING (g)
+                WHERE a.doc_id < c.doc_id
+            ),
+            paired AS (
+                SELECT cand.left_id, cand.right_id, s1.sh AS lsh, s2.sh AS rsh
+                FROM cand
+                JOIN nonempty s1 ON s1.doc_id = cand.left_id
+                JOIN nonempty s2 ON s2.doc_id = cand.right_id
+            ),
+            pairs AS (
+                SELECT left_id, right_id
+                FROM (SELECT left_id, right_id, {_JACCARD_EXPR} AS jaccard FROM paired)
+                WHERE jaccard >= 0.5
+            ),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM pairs
+                UNION
+                SELECT right_id, left_id FROM pairs
+            ),
+            reach AS (
+                SELECT a AS node, a AS root FROM edges
+                UNION
+                SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node),
+            members AS (
+                SELECT c.doc_id, coalesce(comp.cluster, c.doc_id) AS cluster
+                FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+            ),
+            qual AS (
+                SELECT doc_id,
+                       length(trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS q
+                FROM corpus
+            ),
+            ranked AS (
+                SELECT m.doc_id, m.cluster, ql.q,
+                       (row_number() OVER (PARTITION BY m.cluster
+                                           ORDER BY ql.q DESC, m.doc_id) = 1)::INT AS is_can
+                FROM members m JOIN qual ql USING (doc_id)
+            )
+            SELECT cluster::BIGINT AS cluster,
+                   min(CASE WHEN is_can = 1 THEN doc_id END)::BIGINT AS canonical_id,
+                   count(*)::BIGINT AS n_members,
+                   max(CASE WHEN is_can = 1 THEN q END)::BIGINT AS canonical_len,
+                   sum(q)::BIGINT AS total_len,
+                   array_to_string(list_sort(list(doc_id)), ',') AS member_ids
+            FROM ranked GROUP BY cluster
+        """,
+        "blocking_quality": f"""
+            WITH {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM shing WHERE len(sh) > 0),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_id, c.doc_id AS right_id
+                FROM ex a JOIN ex c USING (g)
+                WHERE a.doc_id < c.doc_id
+            ),
+            truth AS (
+                SELECT doc_id AS left_id, doc_id + 100000 AS right_id
+                FROM documents WHERE doc_id < 2000
+            ),
+            m AS (
+                SELECT (SELECT count(*) FROM corpus) AS n_docs,
+                       (SELECT count(*) FROM cand) AS n_candidates,
+                       (SELECT count(*) FROM truth) AS n_truth,
+                       (SELECT count(*) FROM truth t
+                        JOIN cand c USING (left_id, right_id)) AS n_truth_in_candidates
+            )
+            SELECT n_docs::BIGINT AS n_docs,
+                   n_candidates::BIGINT AS n_candidates,
+                   n_truth::BIGINT AS n_truth,
+                   n_truth_in_candidates::BIGINT AS n_truth_in_candidates,
+                   round(1.0 - n_candidates / (n_docs * (n_docs - 1) / 2.0), 6)
+                       AS reduction_ratio,
+                   round(n_truth_in_candidates / (1.0 * n_truth), 6)
+                       AS pairs_completeness
+            FROM m
         """,
         "contamination_overlap": f"""
             WITH {_SHINGLES_CTE.format(src="documents")},

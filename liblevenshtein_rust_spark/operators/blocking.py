@@ -263,3 +263,66 @@ def hot_key_stats(keyed: DataFrame, hot_threshold: int = 200) -> DataFrame:
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .where(F.col("n_docs") > hot_threshold)
     )
+
+
+def blocking_quality(
+    docs: DataFrame,
+    truth_pairs: DataFrame,
+    keyed: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocking-scheme evaluation: reduction ratio + pairs completeness —
+    the two standard blocking metrics (how much of the O(n²) pair space the
+    scheme prunes, and what fraction of true matches survive the pruning).
+    The reference's analog is its recall gating of index-guided traversal
+    against labeled misspelling corpora (`/root/reference/tests/
+    corpus_validation.rs:22-28`): a blocking scheme, like an automaton
+    walk, is only useful if it skips almost everything *except* the
+    matches.
+
+    Inputs:
+      docs        — the record universe (defines n for the O(n²) base);
+      truth_pairs — labeled matches (left_id < right_id);
+      keyed       — (id_col, key): one row per (record, blocking key),
+                    the same table candidate generation consumes.
+
+    Output: ONE row —
+      (n_docs, n_candidates, n_truth, n_truth_in_candidates,
+       reduction_ratio, pairs_completeness).
+
+    Scale: the distinct candidate-pair count is the SAME shuffle candidate
+    generation itself performs (so measuring costs what running costs — no
+    extra pass over the raw corpus); callers must hand in a `keyed` table
+    that already had hot-key policy applied, exactly as the pipeline does.
+    The four metric aggregates are single-row and combine via 1-row
+    broadcast joins — nothing returns to the driver.
+    """
+    a = keyed.select(F.col(id_col).alias("left_id"), "key")
+    b = keyed.select(F.col(id_col).alias("right_id"), "key")
+    cand = (
+        a.join(b, "key")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    truth = truth_pairs.select("left_id", "right_id")
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    n_found = truth.join(cand, ["left_id", "right_id"], "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_truth_in_candidates")
+    )
+    row = n_docs.crossJoin(n_cand).crossJoin(n_truth).crossJoin(n_found)
+    total_pairs = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("double")
+    return row.select(
+        "n_docs",
+        "n_candidates",
+        "n_truth",
+        "n_truth_in_candidates",
+        F.round(F.lit(1.0) - F.col("n_candidates") / total_pairs, 6).alias(
+            "reduction_ratio"
+        ),
+        F.round(
+            F.col("n_truth_in_candidates") / F.col("n_truth"), 6
+        ).alias("pairs_completeness"),
+    )

@@ -684,6 +684,60 @@ def near_dup_clusters(
     )
 
 
+def golden_records(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Survivorship MERGE: collapse each resolved duplicate cluster into one
+    consolidated "golden" record — the step after :func:`near_dup_clusters`
+    picks a survivor.  Classic entity-resolution survivorship (the
+    reference's analog is the value-merging union of ``FuzzyMultiMap``,
+    ``/root/reference/src/collections/multimap.rs:83-112``, where all values
+    behind equivalent keys are folded into one collection): per entity we
+    keep the canonical member plus merged evidence from every member.
+
+    Output, one row per cluster:
+      (cluster, canonical_id, n_members, canonical_len, total_len,
+       member_ids) — ``member_ids`` is the sorted comma-joined member list
+    (a string, not an array: bounded by the dedup radius and safe for any
+    downstream canonicalizer/sink that can't hash array cells).
+
+    Scale: one groupBy(cluster) shuffle carrying (cluster, id, len) longs
+    only.  Cluster sizes are bounded by the dedup radius — never
+    corpus-sized — so no aggregation key is hot, and ``collect_list`` state
+    stays O(cluster size).
+    """
+    if clusters is None:
+        clusters = near_dup_clusters(
+            docs, text_col, id_col, k=k, threshold=threshold
+        )
+    base = docs.select(
+        F.col(id_col),
+        F.length(normalize_text(F.col(text_col))).alias("_len"),
+    )
+    return (
+        clusters.join(base, id_col)
+        .groupBy(F.col("cluster").cast("bigint").alias("cluster"))
+        .agg(
+            F.min(F.when(F.col("is_canonical") == 1, F.col(id_col)))
+            .cast("bigint")
+            .alias("canonical_id"),
+            F.count("*").cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("is_canonical") == 1, F.col("_len")))
+            .cast("bigint")
+            .alias("canonical_len"),
+            F.sum("_len").cast("bigint").alias("total_len"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list(F.col(id_col).cast("bigint")))
+            ).alias("member_ids"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. train/eval contamination detection (n-gram overlap across corpora)
 # ---------------------------------------------------------------------------

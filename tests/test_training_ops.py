@@ -189,3 +189,72 @@ def test_redact_pii_counts_and_masks(spark):
     assert rows[4]["clean_text"] == "clean text with no identifiers at all"
     assert (rows[5]["n_email"], rows[5]["n_phone"], rows[5]["n_ipv4"]) == (1, 1, 1)
     assert rows[5]["clean_text"] == "<EMAIL> via <IPV4> ring <PHONE>"
+
+
+# ---------------------------------------------------------------------------
+# golden-record survivorship merge
+# ---------------------------------------------------------------------------
+
+
+def test_golden_records_merges_cluster_evidence(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " extra tail words here"),   # canonical (longest)
+            (2, base + " extra tail words"),
+            (3, base + " extra tail"),
+            (10, "completely different text about unrelated topics entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["cluster"]: r for r in dedup.golden_records(docs, threshold=0.5).collect()}
+    assert set(rows) == {1, 10}
+    g = rows[1]
+    assert g["canonical_id"] == 1 and g["n_members"] == 3
+    assert g["member_ids"] == "1,2,3"
+    # merged evidence: total_len sums members, canonical_len is the survivor's
+    assert g["total_len"] > g["canonical_len"] > 0
+    s = rows[10]
+    assert s["canonical_id"] == 10 and s["n_members"] == 1
+    assert s["total_len"] == s["canonical_len"]
+
+
+def test_golden_records_accepts_precomputed_clusters(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(4)], "doc_id long, text string"
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0, 1), (1, 0, 0), (2, 2, 1), (3, 3, 1)],
+        "doc_id long, cluster long, is_canonical int",
+    )
+    rows = {r["cluster"]: r for r in
+            dedup.golden_records(docs, clusters=clusters).collect()}
+    assert rows[0]["n_members"] == 2 and rows[0]["canonical_id"] == 0
+    assert rows[2]["n_members"] == 1 and rows[3]["n_members"] == 1
+
+
+# ---------------------------------------------------------------------------
+# blocking-scheme quality metrics
+# ---------------------------------------------------------------------------
+
+
+def test_blocking_quality_metrics(spark):
+    from liblevenshtein_rust_spark.operators import blocking
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(5)], "doc_id long, text string"
+    )
+    # keys put (0,1) and (0,2) in blocks; truth is (0,1) and (3,4)
+    keyed = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (0, "b"), (2, "b"), (3, "c")],
+        "doc_id long, key string",
+    )
+    truth = spark.createDataFrame(
+        [(0, 1), (3, 4)], "left_id long, right_id long"
+    )
+    row = blocking.blocking_quality(docs, truth, keyed).collect()[0]
+    assert row["n_docs"] == 5 and row["n_candidates"] == 2
+    assert row["n_truth"] == 2 and row["n_truth_in_candidates"] == 1
+    # 10 possible pairs, 2 candidates -> RR = 0.8; 1 of 2 truths found
+    assert abs(row["reduction_ratio"] - 0.8) < 1e-9
+    assert abs(row["pairs_completeness"] - 0.5) < 1e-9
