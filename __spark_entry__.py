@@ -844,6 +844,50 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking.blocking_quality(corpus, truth, keyed)
 
 
+def _planted_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled truth for the planted corpus: each source doc matches its
+    first-token-dropped copy (doc_id + 100000)."""
+    return (
+        tables.documents(spark, sf_dir)
+        .where(F.col("doc_id") < 2000)
+        .select(
+            F.col("doc_id").cast("bigint").alias("left_id"),
+            (F.col("doc_id") + 100000).cast("bigint").alias("right_id"),
+        )
+    )
+
+
+def q_er_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise ER evaluation (precision/recall/F1) of the Jaccard-0.5
+    match pairs against the planted duplicate truth — the metric row a
+    linkage pipeline publishes per run.  The oracle replays the shingle
+    blocking + Jaccard threshold and the same TP join."""
+    from liblevenshtein_rust_spark.operators import dedup, evaluation
+
+    corpus = _planted_corpus(spark, sf_dir)
+    pred = dedup.ngram_jaccard_pairs(corpus, threshold=0.5).select(
+        F.col("left_id").cast("bigint").alias("left_id"),
+        F.col("right_id").cast("bigint").alias("right_id"),
+    )
+    return evaluation.pair_metrics(pred, _planted_truth_pairs(spark, sf_dir))
+
+
+def q_er_cluster_bcubed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall/F1 of the resolved near-dup clusters
+    against the planted truth clustering (source doc + its copy = one
+    truth cluster).  Aggregation-only — the oracle replays the recursive
+    closure and the contingency-table sums."""
+    from liblevenshtein_rust_spark.operators import dedup, evaluation
+
+    corpus = _planted_corpus(spark, sf_dir)
+    clusters = dedup.near_dup_clusters(corpus, threshold=0.5)
+    assign = clusters.select(
+        F.col("cluster").alias("pred"),
+        (F.col("doc_id") % 100000).alias("truth"),
+    )
+    return evaluation.bcubed(assign)
+
+
 def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: eval docs (doc_id % 10 == 0) sharing >= 2
     word 3-shingles with train docs (the rest), boilerplate shingles
@@ -942,6 +986,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": q_near_dup_clusters,
     "golden_records": q_golden_records,
     "blocking_quality": q_blocking_quality,
+    "er_pair_metrics": q_er_pair_metrics,
+    "er_cluster_bcubed": q_er_cluster_bcubed,
     "contamination_overlap": q_contamination_overlap,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
@@ -1855,6 +1901,101 @@ def oracle_sql() -> dict[str, str]:
                    round(n_truth_in_candidates / (1.0 * n_truth), 6)
                        AS pairs_completeness
             FROM m
+        """,
+        "er_pair_metrics": f"""
+            WITH {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            nonempty AS (SELECT * FROM shing WHERE len(sh) > 0),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_id, c.doc_id AS right_id
+                FROM ex a JOIN ex c USING (g)
+                WHERE a.doc_id < c.doc_id
+            ),
+            paired AS (
+                SELECT cand.left_id, cand.right_id, s1.sh AS lsh, s2.sh AS rsh
+                FROM cand
+                JOIN nonempty s1 ON s1.doc_id = cand.left_id
+                JOIN nonempty s2 ON s2.doc_id = cand.right_id
+            ),
+            pairs AS (
+                SELECT left_id, right_id
+                FROM (SELECT left_id, right_id, {_JACCARD_EXPR} AS jaccard FROM paired)
+                WHERE jaccard >= 0.5
+            ),
+            truth AS (
+                SELECT doc_id AS left_id, doc_id + 100000 AS right_id
+                FROM documents WHERE doc_id < 2000
+            ),
+            m AS (
+                SELECT (SELECT count(*) FROM pairs) AS n_pred,
+                       (SELECT count(*) FROM truth) AS n_truth,
+                       (SELECT count(*) FROM pairs p
+                        JOIN truth t USING (left_id, right_id)) AS tp
+            )
+            SELECT n_pred::BIGINT AS n_pred,
+                   n_truth::BIGINT AS n_truth,
+                   tp::BIGINT AS tp,
+                   (n_pred - tp)::BIGINT AS fp,
+                   (n_truth - tp)::BIGINT AS fn,
+                   round(tp / (1.0 * n_pred), 6) AS "precision",
+                   round(tp / (1.0 * n_truth), 6) AS recall,
+                   round(2.0 * tp / (n_pred + n_truth), 6) AS f1
+            FROM m
+        """,
+        "er_cluster_bcubed": f"""
+            WITH RECURSIVE {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            nonempty AS (SELECT * FROM shing WHERE len(sh) > 0),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_id, c.doc_id AS right_id
+                FROM ex a JOIN ex c USING (g)
+                WHERE a.doc_id < c.doc_id
+            ),
+            paired AS (
+                SELECT cand.left_id, cand.right_id, s1.sh AS lsh, s2.sh AS rsh
+                FROM cand
+                JOIN nonempty s1 ON s1.doc_id = cand.left_id
+                JOIN nonempty s2 ON s2.doc_id = cand.right_id
+            ),
+            pairs AS (
+                SELECT left_id, right_id
+                FROM (SELECT left_id, right_id, {_JACCARD_EXPR} AS jaccard FROM paired)
+                WHERE jaccard >= 0.5
+            ),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM pairs
+                UNION
+                SELECT right_id, left_id FROM pairs
+            ),
+            reach AS (
+                SELECT a AS node, a AS root FROM edges
+                UNION
+                SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node),
+            members AS (
+                SELECT c.doc_id, coalesce(comp.cluster, c.doc_id) AS cluster
+                FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+            ),
+            assign AS (
+                SELECT doc_id, cluster AS p, doc_id % 100000 AS t FROM members
+            ),
+            pt AS (SELECT p, t, count(*) AS n_pt FROM assign GROUP BY p, t),
+            pp AS (SELECT p, count(*) AS n_p FROM assign GROUP BY p),
+            tt AS (SELECT t, count(*) AS n_t FROM assign GROUP BY t),
+            sums AS (
+                SELECT sum(n_pt) AS n_docs,
+                       sum(n_pt * n_pt / (1.0 * n_p)) AS ps,
+                       sum(n_pt * n_pt / (1.0 * n_t)) AS rs
+                FROM pt JOIN pp USING (p) JOIN tt USING (t)
+            )
+            SELECT n_docs::BIGINT AS n_docs,
+                   round(ps / n_docs, 6) AS bcubed_precision,
+                   round(rs / n_docs, 6) AS bcubed_recall,
+                   round(2.0 * ps * rs / (n_docs * (ps + rs)), 6) AS bcubed_f1
+            FROM sums
         """,
         "contamination_overlap": f"""
             WITH {_SHINGLES_CTE.format(src="documents")},

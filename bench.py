@@ -624,15 +624,31 @@ def compact_result(result: dict) -> dict:
         }
     for k in ("metric", "value", "unit"):
         out[k] = result[k]
-    # hard guard on the ~1900-char stdout contract: if the query inventory
-    # has grown past it, collapse the per-query walls (full set stays in
-    # BENCH_DETAIL.json) rather than let the tail-truncated line fail to parse
-    if len(json.dumps(out, separators=(",", ":"))) > 1850:
-        out["queries"] = {
-            "n": len(result["queries"]),
-            "total_s": round(sum(result["queries"].values()), 1),
-            "detail": "BENCH_DETAIL.json",
-        }
+    # hard guard on the ~1900-char stdout contract (driver keeps the last
+    # ~2000 chars and JSON-parses them): if the query inventory has grown
+    # past the budget, fold the FASTEST queries into an "_others" aggregate
+    # one at a time until the line fits — the slow walls a reader actually
+    # wants stay named; the full set stays in BENCH_DETAIL.json
+    def _len(d: dict) -> int:
+        return len(json.dumps(d, separators=(",", ":")))
+
+    if _len(out) > 1900:
+        by_wall = sorted(out["queries"], key=lambda k: (out["queries"][k], k))
+        dropped: list[str] = []
+        while _len(out) > 1900 and len(dropped) < len(by_wall):
+            name = by_wall[len(dropped)]
+            dropped.append(name)
+            kept = {
+                k: v for k, v in out["queries"].items() if k not in dropped
+            }
+            kept["_others"] = {
+                "n": len(dropped),
+                "total_s": round(
+                    sum(result["queries"][k] for k in dropped), 1
+                ),
+                "detail": "BENCH_DETAIL.json",
+            }
+            out["queries"] = kept
     return out
 
 

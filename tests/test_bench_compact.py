@@ -94,7 +94,12 @@ def test_compact_keeps_critical_fields_near_end():
     line = json.dumps(c, separators=(",", ":"))
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_total" and parsed["unit"] == "sec"
-    assert set(parsed["queries"]) == set(entry.queries())
+    # every query is accounted for: named in the compact dict, or folded
+    # into the "_others" aggregate when the inventory outgrows the budget
+    named = set(parsed["queries"]) - {"_others"}
+    assert named <= set(entry.queries())
+    others = parsed["queries"].get("_others", {"n": 0})
+    assert len(named) + others["n"] == len(entry.queries())
     assert parsed["scaling"]["er_pipeline"]["efficiency"] == 0.921
     assert parsed["scaling"]["er_pipeline"]["pairs"]["8->32"] == 0.419
     assert parsed["scaling"]["score_job"]["efficiency"] == 1.0
@@ -105,6 +110,28 @@ def test_compact_keeps_critical_fields_near_end():
     assert line.rindex('"scaling"') >= len(line) - 1500
     # no bulky per-sample probes in the compact line
     assert "host_probe" not in line and "stage_wall_s" not in line
+
+
+def test_compact_folds_fastest_queries_when_oversized():
+    """If the query inventory outgrows the stdout tail budget, the compact
+    line folds the FASTEST queries into an "_others" aggregate until it
+    fits — the slowest walls stay named, the line stays parseable, and the
+    full set stays in BENCH_DETAIL.json."""
+    r = _full_result()
+    r["queries"] = {
+        f"synthetic_query_number_{i:03d}": float(i) for i in range(120)
+    }
+    c = compact_result(r)
+    line = json.dumps(c, separators=(",", ":"))
+    assert len(line) <= 1900
+    others = c["queries"]["_others"]
+    named = set(c["queries"]) - {"_others"}
+    assert len(named) + others["n"] == 120
+    assert others["detail"] == "BENCH_DETAIL.json"
+    # the retained names are exactly the SLOWEST queries
+    dropped = {f"synthetic_query_number_{i:03d}" for i in range(others["n"])}
+    assert named == set(r["queries"]) - dropped
+    assert others["total_s"] == round(sum(range(others["n"])), 1)
 
 
 def test_compact_survives_missing_optional_sections():

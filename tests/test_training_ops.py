@@ -258,3 +258,54 @@ def test_blocking_quality_metrics(spark):
     # 10 possible pairs, 2 candidates -> RR = 0.8; 1 of 2 truths found
     assert abs(row["reduction_ratio"] - 0.8) < 1e-9
     assert abs(row["pairs_completeness"] - 0.5) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ER evaluation metrics
+# ---------------------------------------------------------------------------
+
+
+def test_pair_metrics_counts_and_scores(spark):
+    from liblevenshtein_rust_spark.operators import evaluation
+
+    # (2,1) is a reversed duplicate of (1,2): canonicalization must dedupe it
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (4, 5)], "left_id long, right_id long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (5, 4), (6, 7)], "left_id long, right_id long"
+    )
+    row = evaluation.pair_metrics(pred, truth).collect()[0]
+    assert (row["n_pred"], row["n_truth"], row["tp"]) == (3, 3, 2)
+    assert (row["fp"], row["fn"]) == (1, 1)
+    assert abs(row["precision"] - 2 / 3) < 1e-6
+    assert abs(row["recall"] - 2 / 3) < 1e-6
+    assert abs(row["f1"] - 2 / 3) < 1e-6
+
+
+def test_bcubed_textbook_example(spark):
+    from liblevenshtein_rust_spark.operators import evaluation
+
+    # truth {1,2},{3},{4,5}; pred {1,2,3},{4},{5}
+    assign = spark.createDataFrame(
+        [(1, "A", "X"), (2, "A", "X"), (3, "A", "Y"),
+         (4, "B", "Z"), (5, "C", "Z")],
+        "doc_id long, pred string, truth string",
+    )
+    row = evaluation.bcubed(assign).collect()[0]
+    assert row["n_docs"] == 5
+    assert abs(row["bcubed_precision"] - 11 / 15) < 1e-6   # 0.733333
+    assert abs(row["bcubed_recall"] - 0.8) < 1e-6
+    assert abs(row["bcubed_f1"] - 88 / 115) < 1e-6          # 0.765217
+
+
+def test_bcubed_perfect_clustering_is_all_ones(spark):
+    from liblevenshtein_rust_spark.operators import evaluation
+
+    assign = spark.createDataFrame(
+        [(i, i // 2, i // 2) for i in range(10)],
+        "doc_id long, pred long, truth long",
+    )
+    row = evaluation.bcubed(assign).collect()[0]
+    assert row["bcubed_precision"] == 1.0
+    assert row["bcubed_recall"] == 1.0 and row["bcubed_f1"] == 1.0
