@@ -305,14 +305,23 @@ def blocking_quality(
         .select("left_id", "right_id")
         .distinct()
     )
-    truth = truth_pairs.select("left_id", "right_id")
-    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
-    n_cand = cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
-    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-    n_found = truth.join(cand, ["left_id", "right_id"], "left_semi").agg(
-        F.count("*").cast("bigint").alias("n_truth_in_candidates")
+    truth = truth_pairs.select("left_id", "right_id").distinct()
+    # ONE pass over the candidate set: flag each candidate as truth/not via
+    # a left join, then count + sum in a single aggregate — a separate
+    # n_candidates aggregate and truth semi-join would rebuild the whole
+    # candidate shuffle twice (verified in the physical plan).
+    flagged = cand.join(
+        truth.withColumn("_t", F.lit(1)), ["left_id", "right_id"], "left"
     )
-    row = n_docs.crossJoin(n_cand).crossJoin(n_truth).crossJoin(n_found)
+    counts = flagged.agg(
+        F.count("*").cast("bigint").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_truth_in_candidates"),
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    row = n_docs.crossJoin(counts).crossJoin(n_truth)
     total_pairs = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("double")
     return row.select(
         "n_docs",

@@ -56,12 +56,19 @@ def pair_metrics(pred_pairs: DataFrame, truth_pairs: DataFrame) -> DataFrame:
     """
     pred = _canon_pairs(pred_pairs)
     truth = _canon_pairs(truth_pairs)
-    n_pred = pred.agg(F.count("*").cast("bigint").alias("n_pred"))
-    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
-    tp = pred.join(truth, ["left_id", "right_id"], "left_semi").agg(
-        F.count("*").cast("bigint").alias("tp")
+    # ONE pass over the (expensive, generated) pred side: a left join that
+    # flags each predicted pair as true/false feeds both counts — computing
+    # n_pred and tp as separate aggregates would rebuild the whole candidate
+    # generation twice (verified in the physical plan).
+    flagged = pred.join(
+        truth.withColumn("_t", F.lit(1)), ["left_id", "right_id"], "left"
     )
-    row = n_pred.crossJoin(n_truth).crossJoin(tp)
+    counts = flagged.agg(
+        F.count("*").cast("bigint").alias("n_pred"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("bigint").alias("tp"),
+    )
+    n_truth = truth.agg(F.count("*").cast("bigint").alias("n_truth"))
+    row = counts.crossJoin(n_truth)
     return row.select(
         "n_pred",
         "n_truth",
@@ -99,8 +106,11 @@ def bcubed(
         F.col(pred_col).alias("p"), F.col(truth_col).alias("t")
     )
     pt = a.groupBy("p", "t").agg(F.count("*").alias("n_pt"))
-    pp = a.groupBy("p").agg(F.count("*").alias("n_p"))
-    tt = a.groupBy("t").agg(F.count("*").alias("n_t"))
+    # derive the marginals FROM the contingency table — the (possibly
+    # expensive) assignments input is scanned exactly once, and pt is
+    # cluster-count-sized, so re-aggregating it twice is negligible
+    pp = pt.groupBy("p").agg(F.sum("n_pt").alias("n_p"))
+    tt = pt.groupBy("t").agg(F.sum("n_pt").alias("n_t"))
     joined = pt.join(pp, "p").join(tt, "t")
     sums = joined.agg(
         F.sum("n_pt").cast("bigint").alias("n_docs"),
