@@ -414,6 +414,20 @@ def main() -> None:
     er_res = head["er"]
     q = head["queries"]
 
+    # Checkpoint line BEFORE the long scaling campaign: if the harness kills
+    # the process mid-campaign, its bounded stdout tail still ends in one
+    # parseable compact JSON line (queries + headline ER + english_dict);
+    # the committed BENCH_DETAIL.json / BASELINE.md carry the last full
+    # campaign on record.  On a complete run the final line below supersedes
+    # this one (the harness parses the LAST line of the tail).
+    ckpt = dict(result)
+    ckpt["metric"] = "headline_total"
+    ckpt["value"] = round(sum(q.values()) + er_res["wall_s"], 3)
+    ckpt["unit"] = "sec"
+    ckpt_line = dict(compact_result(ckpt))
+    ckpt_line["note"] = "checkpoint before scaling campaign; final line supersedes"
+    print(json.dumps(ckpt_line, separators=(",", ":")), flush=True)
+
     if DO_SCALING:
         low = max(CPUS // 4, 1)
         tiny = max(CPUS // 16, 1)
@@ -599,7 +613,7 @@ def main() -> None:
         detail_path.write_text(json.dumps(result, indent=1) + "\n")
     except OSError:
         pass
-    print(json.dumps(compact_result(result), separators=(",", ":")))
+    print(json.dumps(compact_result(result), separators=(",", ":")), flush=True)
 
 
 def compact_result(result: dict) -> dict:
