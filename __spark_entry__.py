@@ -694,6 +694,38 @@ def q_fuzzy_query_generalized_ops(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("query", "term", F.round(F.col("distance"), 1).alias("distance"))
 
 
+MULTICHAR_OPS_PROBES = [
+    # one query char standing in for any 3 consecutive term chars
+    # ("cusxer" ~ customer via x ~ "tom", "xer" ~ order via x ~ "ord"),
+    # plus unit-edit ("lne" ~ line), exact ("data") and no-match ("zzzz")
+    # probes riding the same op set
+    "cusxer", "xer", "data", "lne", "zzzz",
+]
+
+
+def q_fuzzy_query_multichar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNRESTRICTED generalized multichar operation (reference
+    ``operation_type.rs:1-44`` ``OperationType::new(tx, ty, w)`` with no
+    restriction set): t = ⟨3, 1, 1.0⟩ — any one query char may stand in for
+    any 3 consecutive term chars at cost 1 — alongside the unit
+    sub/ins/del ops, budget 1.  Exercises the merge-split hybrid keyed
+    blocking path (depth-4 deletions / 3-grams; its bridge argument covers
+    tx<=3 ops: delete the <=3 touched term chars and the <=1 touched query
+    char and the remainders agree)."""
+    from liblevenshtein_rust_spark.kernel.generalized import (
+        MultiOp,
+        OperationWeights,
+    )
+
+    w = OperationWeights(extra_ops=(MultiOp(3, 1, 1.0),))
+    return matching.fuzzy_query_weighted(
+        _probes_df(spark, MULTICHAR_OPS_PROBES),
+        _doc_tokens(spark, sf_dir),
+        1.0,
+        w,
+    ).select("query", "term", F.col("distance").cast("int").alias("distance"))
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liblevenshtein_rust_spark.operators import text
 
@@ -976,6 +1008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_frame_sample": q_media_frame_sample,
     "fuzzy_query_weighted_nosub": q_fuzzy_query_weighted_nosub,
     "fuzzy_query_generalized_ops": q_fuzzy_query_generalized_ops,
+    "fuzzy_query_multichar_ops": q_fuzzy_query_multichar_ops,
     "token_stats": q_token_stats,
     "quality_features": q_quality_features,
     "lang_id": q_lang_id,
@@ -1574,6 +1607,41 @@ def oracle_sql() -> dict[str, str]:
                 FROM dp WHERE i < length(q)
             )
             SELECT q AS query, t AS term, round(curr[length(t) + 1], 1) AS distance
+            FROM dp
+            WHERE i = length(q) AND curr[length(t) + 1] <= 1.0
+        """,
+        # Same recursive-CTE DP as generalized_ops but with the
+        # UNRESTRICTED ⟨3,1,1.0⟩ op: D[i+1][j] <- D[i][j-3] + 1 for any
+        # chars (no substr equality check) — inner-k form curr[k-2] + 1.0
+        # at k >= 3.  All weights integral → INT distances on both sides.
+        "fuzzy_query_multichar_ops": f"""
+            WITH RECURSIVE {_PLAIN_TOKS_CTE},
+            probes AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in MULTICHAR_OPS_PROBES)}) v(query)),
+            pairs AS (
+                -- length prefilter at the op-derived drift bound:
+                -- |tx-ty|/w maxes at 2/1 for the ⟨3,1⟩ op (budget 1)
+                SELECT p.query AS q, t.term AS t FROM probes p, toks t
+                WHERE abs(length(p.query) - length(t.term)) <= 2
+            ),
+            dp AS (
+                SELECT q, t, 0 AS i,
+                       list_transform(generate_series(0, length(t)), j -> j::DOUBLE) AS curr
+                FROM pairs
+                UNION ALL
+                SELECT q, t, i + 1,
+                       list_transform(generate_series(0, length(t)), j ->
+                           list_min(list_transform(generate_series(0, j), k ->
+                               (CASE WHEN k = 0 THEN curr[1] + 1.0
+                                     ELSE least(
+                                         curr[k + 1] + 1.0,
+                                         curr[k] + CASE WHEN substr(q, i + 1, 1) = substr(t, k, 1)
+                                                   THEN 0.0 ELSE 1.0 END,
+                                         CASE WHEN k >= 3 THEN curr[k - 2] + 1.0 ELSE 99.0 END)
+                                END) + (j - k)::DOUBLE))
+                       ) AS curr
+                FROM dp WHERE i < length(q)
+            )
+            SELECT q AS query, t AS term, curr[length(t) + 1]::INT AS distance
             FROM dp
             WHERE i = length(q) AND curr[length(t) + 1] <= 1.0
         """,

@@ -608,7 +608,19 @@ def main() -> None:
     # line came back `parsed: null` with its head truncated away, so the
     # machine-readable contract is: final line <= ~1900 chars, critical
     # fields (scaling efficiency, headline) nearest the end.
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    # Smoke runs (any shrunken knob) must NOT clobber the committed
+    # full-campaign detail — they get a side file the round harness ignores.
+    smoke = any(
+        os.environ.get(k)
+        for k in (
+            "SPARK_GRAFT_BENCH_SCALE_PAIRS",
+            "SPARK_GRAFT_BENCH_SCALE_DOCS",
+            "SPARK_GRAFT_BENCH_SCALE_REPS",
+            "SPARK_GRAFT_BENCH_SCALING",
+        )
+    ) or "sf0.1" not in SF_DIR
+    detail_name = "BENCH_DETAIL_smoke.json" if smoke else "BENCH_DETAIL.json"
+    detail_path = Path(__file__).resolve().parent / detail_name
     try:
         detail_path.write_text(json.dumps(result, indent=1) + "\n")
     except OSError:

@@ -60,6 +60,41 @@ class RestrictedOp:
 
 
 @dataclass(frozen=True)
+class MultiOp:
+    """One UNRESTRICTED generalized operation t = ⟨t^x, t^y, t^w⟩: consume
+    any ``tx`` consecutive dictionary-term chars and any ``ty`` consecutive
+    query chars at cost ``weight`` — the restriction-free
+    ``OperationType::new(tx, ty, w)`` analog (``operation_type.rs:1-44``;
+    :class:`RestrictedOp` covers the ``with_restriction`` form).  Same
+    kernel window limits as restricted ops: ty <= 2 (the DP keeps two prior
+    rows), tx <= 3; zero weight requires tx == ty (TCS 2011 Thm 8.2)."""
+
+    tx: int
+    ty: int
+    weight: float
+
+    def validate(self) -> None:
+        if self.tx == 0 and self.ty == 0:
+            raise ValueError("MultiOp must consume at least one char")
+        if self.tx < 0 or self.ty < 0:
+            raise ValueError("MultiOp lengths must be >= 0")
+        if self.ty > 2 or self.tx > 3:
+            raise ValueError("MultiOp supports ty<=2, tx<=3")
+        if self.weight < 0:
+            raise ValueError("weight must be >= 0")
+        if self.weight == 0 and self.tx != self.ty:
+            raise ValueError("zero-weight ops must be length-preserving (TCS 2011 Thm 8.2)")
+
+
+def op_shape(op) -> tuple[int, int, float, str | None, str | None]:
+    """(tx, ty, weight, term_seg, query_seg) for either extra-op kind;
+    segments are None for the unrestricted :class:`MultiOp`."""
+    if isinstance(op, MultiOp):
+        return op.tx, op.ty, op.weight, None, None
+    return len(op.term_seg), len(op.query_seg), op.weight, op.term_seg, op.query_seg
+
+
+@dataclass(frozen=True)
 class OperationWeights:
     """Costs; None disables the op (``OperationSet`` analog).  Core op
     weights are numeric (int or float) >= 1 — fractional costs arrive via
@@ -72,7 +107,7 @@ class OperationWeights:
     transpose: float | None = None
     merge: float | None = None
     split: float | None = None
-    extra_ops: tuple[RestrictedOp, ...] = field(default=())
+    extra_ops: tuple = field(default=())  # RestrictedOp | MultiOp
 
     def validate(self) -> None:
         for name in ("substitute", "insert", "delete"):
@@ -101,9 +136,10 @@ class OperationWeights:
         if self.split is not None:
             drift.append((1, self.split))
         for op in self.extra_ops:
-            d = abs(len(op.term_seg) - len(op.query_seg))
+            tx, ty, wgt, _, _ = op_shape(op)
+            d = abs(tx - ty)
             if d:
-                drift.append((d, op.weight))
+                drift.append((d, wgt))
         for d, w in drift:
             if w == 0:
                 continue  # validate() forbids zero-weight drift ops
@@ -149,14 +185,14 @@ def generalized_distance(query: str, term: str, w: OperationWeights) -> float:
                 # one query char splits into two term chars
                 D[i + 1][j + 2] = min(D[i + 1][j + 2], D[i][j] + w.split)
             for op in w.extra_ops:
-                ty, tx = len(op.query_seg), len(op.term_seg)
+                tx, ty, wgt, tseg, qseg = op_shape(op)
                 if (
                     i + ty <= la
                     and j + tx <= lb
-                    and a[i : i + ty] == op.query_seg
-                    and b[j : j + tx] == op.term_seg
+                    and (qseg is None or a[i : i + ty] == qseg)
+                    and (tseg is None or b[j : j + tx] == tseg)
                 ):
-                    D[i + ty][j + tx] = min(D[i + ty][j + tx], D[i][j] + op.weight)
+                    D[i + ty][j + tx] = min(D[i + ty][j + tx], D[i][j] + wgt)
     return D[la][lb]
 
 
@@ -164,7 +200,8 @@ def batch_generalized_distance(
     queries, terms, max_distance: float, w: OperationWeights
 ) -> np.ndarray:
     """Vectorized weighted banded DP over the full generalized op set
-    (core weighted ops + restricted multichar ``extra_ops``).
+    (core weighted ops + restricted :class:`RestrictedOp` and unrestricted
+    :class:`MultiOp` multichar ``extra_ops``).
 
     Returns int32 distances with -1 rejects when every weight is integral
     (back-compatible with the uniform kernel); float64 otherwise (-1.0
@@ -206,25 +243,27 @@ def batch_generalized_distance(
     # and partition by query consumption ty (0 = in-row, 1/2 = prev/two_ago).
     ext = []
     for op in w.extra_ops:
-        tx, ty = len(op.term_seg), len(op.query_seg)
-        if tx == 0:
-            M = np.ones_like(T_pad, dtype=bool)
-        else:
-            M = np.ones_like(T_pad, dtype=bool)
-            for u in range(tx):
-                ch = np.uint32(ord(op.term_seg[tx - 1 - u]))
-                if u == 0:
-                    M &= T_pad == ch
-                else:
-                    M[:, u:] &= T_pad[:, :-u] == ch
-                    M[:, :u] = False
-        ext.append((tx, ty, wt(op.weight), op.query_seg, M))
+        tx, ty, wgt, tseg, qseg = op_shape(op)
+        M = np.ones_like(T_pad, dtype=bool)
+        for u in range(tx):
+            # restricted: position must equal the segment char; unrestricted
+            # (tseg None): position must hold ANY real (non-pad) char
+            ch = None if tseg is None else np.uint32(ord(tseg[tx - 1 - u]))
+            if u == 0:
+                M &= (T_pad != _PAD) if ch is None else (T_pad == ch)
+            else:
+                M[:, u:] &= (
+                    (T_pad[:, :-u] != _PAD) if ch is None else (T_pad[:, :-u] == ch)
+                )
+                M[:, :u] = False
+        ext.append((tx, ty, wt(wgt), qseg, M))
     inrow_ops = [e for e in ext if e[1] == 0]
     cell_ops = [e for e in ext if e[1] >= 1]
     has_tx0 = [e for e in ext if e[0] == 0 and e[1] >= 1]
 
-    def qmatch(i: int, ty: int, seg: str) -> np.ndarray:
-        """Rows where query chars i-ty+1..i equal ``seg``."""
+    def qmatch(i: int, ty: int, seg: str | None) -> np.ndarray:
+        """Rows where query chars i-ty+1..i equal ``seg`` (seg=None: any
+        ``ty`` real chars — the unrestricted :class:`MultiOp` form)."""
         if ty == 0:
             return np.ones(batch, dtype=bool)
         if i < ty:
@@ -233,7 +272,8 @@ def batch_generalized_distance(
         for u in range(ty):
             idx = i - ty + u
             if idx < Q.shape[1]:
-                m &= Q[:, idx] == np.uint32(ord(seg[u]))
+                col = Q[:, idx]
+                m &= (col != _PAD) if seg is None else (col == np.uint32(ord(seg[u])))
             else:
                 return np.zeros(batch, dtype=bool)
         return m

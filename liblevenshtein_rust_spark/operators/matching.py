@@ -313,8 +313,11 @@ def _weighted_blocking_bounds(weights, budget: float) -> dict:
         ops.append((2, 1, weights.merge))
     if weights.split is not None:
         ops.append((1, 2, weights.split))
+    from ..kernel.generalized import op_shape
+
     ops += [
-        (len(o.query_seg), len(o.term_seg), o.weight) for o in weights.extra_ops
+        (ty, tx, wgt)
+        for tx, ty, wgt, _, _ in (op_shape(o) for o in weights.extra_ops)
     ]
     if any(w == 0 for _, _, w in ops):
         return {"unbounded": True}

@@ -115,3 +115,76 @@ def test_band_half_width_from_drift():
     assert OperationWeights().band_half_width(2) == 2
     w = OperationWeights(extra_ops=(RestrictedOp("abc", "x", 0.5),))
     assert w.band_half_width(1.0) == 4
+
+
+# --- unrestricted multichar ops (MultiOp — OperationType::new without a
+# restriction set, operation_type.rs:1-44) --------------------------------
+
+
+def test_multiop_validation():
+    from liblevenshtein_rust_spark.kernel.generalized import MultiOp
+
+    with pytest.raises(ValueError):
+        MultiOp(0, 0, 1.0).validate()
+    with pytest.raises(ValueError):
+        MultiOp(4, 1, 1.0).validate()  # tx > 3
+    with pytest.raises(ValueError):
+        MultiOp(1, 3, 1.0).validate()  # ty > 2
+    with pytest.raises(ValueError):
+        MultiOp(2, 1, 0.0).validate()  # zero weight must preserve length
+    MultiOp(2, 2, 0.0).validate()
+    MultiOp(3, 2, 1.5).validate()
+
+
+def test_multiop_basic_semantics():
+    from liblevenshtein_rust_spark.kernel.generalized import MultiOp
+
+    # "any 3 term chars <-> any 1 query char at cost 1": 'x' matches 'abc'
+    w = OperationWeights(extra_ops=(MultiOp(3, 1, 1.0),))
+    got = batch_generalized_distance(
+        ["x", "xd", "zzzz"], ["abc", "abcd", "zz"], 1.0, w
+    )
+    assert got.tolist() == [1, 1, -1]
+    # integral weights keep the int32 contract
+    assert got.dtype == np.int32
+    # "delete any 2 consecutive term chars at cost 1" (term-only gap op)
+    w2 = OperationWeights(extra_ops=(MultiOp(2, 0, 1.0),))
+    got2 = batch_generalized_distance(["ad"], ["abcd"], 1.0, w2)
+    assert got2.tolist() == [1]
+
+
+def test_multiop_band_half_width():
+    from liblevenshtein_rust_spark.kernel.generalized import MultiOp
+
+    # drift 2 per 1.0 cost → half-width 2 at budget 1
+    w = OperationWeights(extra_ops=(MultiOp(3, 1, 1.0),))
+    assert w.band_half_width(1.0) == 2
+
+
+def test_multiop_property_cross_validation():
+    from liblevenshtein_rust_spark.kernel.generalized import MultiOp
+
+    rng = random.Random(41)
+    alpha = "abcf e"
+
+    def rnd():
+        return "".join(rng.choice(alpha) for _ in range(rng.randrange(9)))
+
+    cases = [
+        OperationWeights(extra_ops=(MultiOp(3, 1, 1.0),)),
+        OperationWeights(extra_ops=(MultiOp(2, 0, 1.0),)),
+        OperationWeights(extra_ops=(MultiOp(0, 2, 1.0),)),
+        OperationWeights(extra_ops=(MultiOp(2, 2, 0.5),)),
+        # mixed restricted + unrestricted, fractional budget
+        OperationWeights(
+            substitute=2,
+            extra_ops=(MultiOp(3, 2, 1.5), RestrictedOp("ab", "c", 0.5)),
+        ),
+        # zero-weight length-preserving wildcard (free 1<->1 rewrite)
+        OperationWeights(extra_ops=(MultiOp(1, 1, 0.0),)),
+    ]
+    for w in cases:
+        for budget in (0.5, 1, 2):
+            qs = [rnd() for _ in range(150)]
+            ts = [rnd() for _ in range(150)]
+            _cross_validate(w, budget, qs, ts)
