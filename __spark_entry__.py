@@ -645,6 +645,26 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize analog (``operators/multimodal.media_resize``):
+    nearest-neighbor downsample of the stub 10×10 byte grid to 4×4 via
+    ``mapInPandas`` — binary in, binary out, dedupe-refs-before-decode.  The
+    payload is hex-encoded for the driver compare (binary cells are not
+    canonicalizable); the oracle rebuilds the same 16 bytes from
+    ``sha256(media_ref)`` with the identical ``r*10//h`` index arithmetic."""
+    from liblevenshtein_rust_spark.operators import multimodal
+
+    built = _derived_span_docs(spark, sf_dir)
+    out = multimodal.media_resize(built, width=4, height=4)
+    return out.select(
+        "media_ref",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.lower(F.hex(F.col("payload"))).alias("payload_hex"),
+    )
+
+
 def q_fuzzy_query_weighted_nosub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-weighted operation set (GeneralizedAutomaton parity,
     reference ``generalized/operation_set.rs``): substitution cost 2 at
@@ -1005,6 +1025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "span_roundtrip": q_span_roundtrip,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "fuzzy_query_weighted_nosub": q_fuzzy_query_weighted_nosub,
     "fuzzy_query_generalized_ops": q_fuzzy_query_generalized_ops,
@@ -1535,6 +1556,26 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE 0 END) / 7.0 / 255.0, 3) AS value
             FROM pl, generate_series(0, 15) gj(j), generate_series(0, 6) gr(r)
             GROUP BY media_ref, j
+        """,
+        # resize replay: payload byte k of the stub = sha256 digest byte
+        # (k % 32); the 4x4 nearest-neighbor pick from the 10x10 grid is
+        # idx = (r*10//4)*10 + (c*10//4), flattened over k = 4r + c
+        "media_resize": """
+            WITH refs AS (
+                SELECT DISTINCT 'm' || doc_id::VARCHAR || '_' || (i - 1)::VARCHAR AS media_ref
+                FROM (SELECT doc_id,
+                             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS tk
+                      FROM documents),
+                     unnest(generate_series(1, len(tk))) g(i)
+                WHERE (i - 1) % 5 = 4
+            )
+            SELECT media_ref, 4::INT AS width, 4::INT AS height, 16::INT AS n_bytes,
+                   array_to_string(
+                       [substr(sha256(media_ref),
+                               2 * (((((k // 4) * 10) // 4) * 10
+                                     + (((k % 4) * 10) // 4)) % 32) + 1, 2)
+                        FOR k IN generate_series(0, 15)], '') AS payload_hex
+            FROM refs
         """,
         "media_frame_sample": """
             WITH media AS (

@@ -120,8 +120,20 @@ def connected_components(
     """
     spark = edges.sparkSession
     e = _canonical_edges(edges, src, dst)
+    sizing_cache = None
     if num_partitions is None:
-        n_edges = edge_count_hint if edge_count_hint is not None else e.count()
+        if edge_count_hint is not None:
+            n_edges = edge_count_hint
+        else:
+            # The sizing count would otherwise evaluate the FULL upstream
+            # edge lineage (often an expensive candidate-pair join), and the
+            # first checkpoint materialization below would evaluate it a
+            # SECOND time.  Cache across the two so the join runs once —
+            # at 100 TB the extra pass over the pair join is the single
+            # biggest avoidable cost of an unhinted CC call.
+            sizing_cache = e.persist()
+            n_edges = sizing_cache.count()
+            e = sizing_cache
         num_partitions = fixpoint_partitions(spark, n_edges)
     n_part = num_partitions
     # Size EVERY shuffle inside the fixpoint to the data: each iteration is
@@ -171,7 +183,9 @@ def connected_components(
         # fixpoint's scheduler latency, the dominant cost on small graphs).
         e = e.repartition(n_part, "u")
         e = e.localCheckpoint(eager=False)
-        sig_prev = _sig(e)
+        sig_prev = _sig(e)  # materializes the checkpoint blocks
+        if sizing_cache is not None:
+            sizing_cache.unpersist()
         for _ in range(max_iterations):
             e2 = _large_star(e)
             # no explicit repartition: small-star's trailing distinct already

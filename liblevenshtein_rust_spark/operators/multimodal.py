@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     StringType,
@@ -103,6 +104,53 @@ def media_features(docs: DataFrame, partitions: int | None = None) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_ref", "n_bytes", "feature"])
 
     return refs.mapInPandas(run, MEDIA_FEATURE_SCHEMA)
+
+
+MEDIA_RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("n_bytes", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def media_resize(
+    docs: DataFrame, width: int = 4, height: int = 4, partitions: int | None = None
+) -> DataFrame:
+    """Image-resize analog: decode (stub) → nearest-neighbor downsample →
+    (media_ref, width, height, n_bytes, payload: binary), one row per
+    distinct asset.
+
+    The stub payload is treated as a 10×10 byte grid; nearest-neighbor
+    resampling picks row ``r*10//height`` / col ``c*10//width`` — the exact
+    index arithmetic a real image resize kernel uses, so swapping the stub
+    for PIL's ``Image.resize`` changes no Spark-side shape.  Same
+    dedupe-refs-before-decode + ``mapInPandas`` (Arrow, batch-wise, no
+    shuffle) plan as :func:`media_features`."""
+    if not (1 <= width <= 10 and 1 <= height <= 10):
+        raise ValueError("stub resize supports 1..10 in each dimension")
+    refs = extract_media_refs(docs).select("media_ref").distinct()
+    if partitions:
+        refs = refs.repartition(partitions)
+    ri = (np.arange(height) * 10) // height
+    ci = (np.arange(width) * 10) // width
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf["media_ref"]:
+                grid = np.frombuffer(_decode_stub(ref), dtype=np.uint8)[:100]
+                grid = grid.reshape(10, 10)
+                out = grid[np.ix_(ri, ci)].tobytes()
+                rows.append((ref, width, height, len(out), out))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "width", "height", "n_bytes", "payload"]
+            )
+
+    return refs.mapInPandas(run, MEDIA_RESIZE_SCHEMA)
 
 
 def frame_sample(docs: DataFrame, every: int = 2) -> DataFrame:

@@ -275,6 +275,24 @@ def test_media_decode_stub_boundary():
         multimodal._decode_stub("s3://bucket/object")
 
 
+def test_media_resize_nearest_neighbor(spark, media_docs):
+    import numpy as np
+
+    out = multimodal.media_resize(media_docs, width=4, height=4).collect()
+    assert len(out) > 0
+    for r in out[:10]:
+        assert (r["width"], r["height"], r["n_bytes"]) == (4, 4, 16)
+        # replay the stub + index arithmetic locally
+        grid = np.frombuffer(
+            multimodal._decode_stub(r["media_ref"]), dtype=np.uint8
+        )[:100].reshape(10, 10)
+        ri = (np.arange(4) * 10) // 4
+        want = grid[np.ix_(ri, ri)].tobytes()
+        assert bytes(r["payload"]) == want
+    with pytest.raises(ValueError):
+        multimodal.media_resize(media_docs, width=11)
+
+
 def test_frame_sample_keeps_order(spark, media_docs):
     sampled = multimodal.frame_sample(media_docs, every=2)
     full = multimodal.extract_media_refs(media_docs)
