@@ -754,6 +754,42 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking (``operators/text.chunk_documents``):
+    32-token windows, 8-token overlap (stride 24), final window may be
+    short; empty docs emit nothing.  Pure codegen — split → sequence →
+    slice → posexplode, zero shuffle."""
+    from liblevenshtein_rust_spark.operators import text
+
+    return text.chunk_documents(
+        tables.documents(spark, sf_dir), chunk_tokens=32, overlap=8
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per doc by smoothed TF-IDF
+    (``operators/text.tfidf_keywords``): score = tf * (ln((N+1)/(df+1))+1),
+    rank by (score DESC, token ASC).  Ranked on the unrounded double in
+    both engines (exact ties have identical (tf, df) hence identical
+    doubles); the reported score is rounded to 6 decimals."""
+    from liblevenshtein_rust_spark.operators import text
+
+    out = text.tfidf_keywords(tables.documents(spark, sf_dir), top_k=3)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "token",
+        F.col("tf").cast("int").alias("tf"),
+        F.col("df").cast("int").alias("df"),
+        F.round(F.col("score"), 6).alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liblevenshtein_rust_spark.operators import text
 
@@ -1032,6 +1068,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_query_multichar_ops": q_fuzzy_query_multichar_ops,
     "token_stats": q_token_stats,
     "quality_features": q_quality_features,
+    "chunk_documents": q_chunk_documents,
+    "tfidf_keywords": q_tfidf_keywords,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
     "repetition_stats": q_repetition_stats,
@@ -1692,6 +1730,36 @@ def oracle_sql() -> dict[str, str]:
                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::INT AS ws_tokens,
                    length(text)::INT AS n_chars
             FROM documents
+        """,
+        "chunk_documents": """
+            WITH tk AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents WHERE length(trim(text)) > 0
+            )
+            SELECT doc_id::BIGINT AS doc_id, (s // 24)::INT AS chunk_id,
+                   least(len(toks) - s, 32)::INT AS n_tokens,
+                   array_to_string(list_slice(toks, s + 1, s + 32), ' ') AS chunk_text
+            FROM tk, unnest(generate_series(0, len(toks) - 1, 24)) g(s)
+        """,
+        "tfidf_keywords": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+                FROM documents WHERE length(trim(text)) > 0
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       tf.tf * (ln((n.n + 1)::DOUBLE / (df.df + 1)) + 1.0) AS score
+                FROM tf JOIN df USING (token), n
+            )
+            SELECT doc_id::BIGINT AS doc_id, token, tf::INT AS tf, df::INT AS df,
+                   round(score, 6) AS score, rank::INT AS rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, token) AS rank
+                  FROM scored)
+            WHERE rank <= 3
         """,
         "quality_features": f"""
             WITH feats AS (

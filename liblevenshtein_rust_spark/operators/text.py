@@ -256,3 +256,112 @@ def repetition_stats(
             (F.col("_s.dup_frac") <= max_dup_frac).cast("int").alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# training-window chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows — the
+    pretraining-data chunking step (context-window packing happens
+    downstream).  Output: (doc_id, chunk_id, n_tokens, chunk_text), one row
+    per window; windows start at 0, stride, 2*stride, ... while the start
+    is inside the token sequence (the final window may be short); empty
+    documents produce no chunks.
+
+    Pure codegen: split → ``sequence`` of starts → ``transform`` +
+    ``slice`` + ``array_join`` → ``posexplode``.  No shuffle, no Python —
+    at 100 TB this is a single projection pass fused into the scan, and the
+    output inherits the input's partitioning (chunks of a doc stay in the
+    doc's partition)."""
+    if chunk_tokens < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+    starts = F.when(F.size(toks) == 0, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.least(F.size(toks) - s, F.lit(chunk_tokens)).alias("n_tokens"),
+            F.array_join(F.slice(toks, s + 1, chunk_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` keywords per document by smoothed TF-IDF:
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (scikit-style smoothing;
+    every quantity integral except the final log).  Output:
+    (doc_id, token, tf, df, score, rank), rank by (score DESC, token ASC).
+
+    Plan: one explode + (doc, token) count [shuffle 1] → token df by
+    re-aggregating the (doc, token) table [shuffle 2, vocab-sized output]
+    → df joined back on token [shuffle 3 — vocab-sized side, Heaps-law
+    small but NOT assumed broadcastable at 10^12 docs] → per-doc window
+    rank [shuffle 4 on doc_id].  N (corpus size) rides a scalar cross-join
+    of a 1-row aggregate, never a driver collect."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.length(F.trim(F.col(text_col))) == 0,
+                F.array().cast("array<string>"),
+            ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(df, "token")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "token", "tf", "df", "score", "rank")
+    )

@@ -309,3 +309,68 @@ def test_bcubed_perfect_clustering_is_all_ones(spark):
     row = evaluation.bcubed(assign).collect()[0]
     assert row["bcubed_precision"] == 1.0
     assert row["bcubed_recall"] == 1.0 and row["bcubed_f1"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# training-window chunking + TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, ""), (3, "x y"), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in text.chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    }
+    # stride 3: starts 0, 3, 6; final window short
+    assert out == {
+        (1, 0): (4, "a b c d"),
+        (1, 1): (4, "d e f g"),
+        (1, 2): (1, "g"),
+        (3, 0): (2, "x y"),
+    }
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, chunk_tokens=0)
+
+
+def test_chunk_documents_no_shuffle(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        text.chunk_documents(docs, chunk_tokens=2, overlap=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure projection + explode
+
+
+def test_tfidf_keywords_ranking(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),   # apple tf=2 rare-ish
+            (2, "banana banana banana"), # banana common across docs
+            (3, "apple banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    import math
+
+    rows = text.tfidf_keywords(docs, top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple (tf=2, df=2) beats banana (tf=1, df=3)
+    top1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    assert [r["token"] for r in top1] == ["apple", "banana"]
+    a = next(r for r in top1 if r["token"] == "apple")
+    assert (a["tf"], a["df"]) == (2, 2)
+    assert abs(a["score"] - 2 * (math.log(4 / 3) + 1)) < 1e-9
+    # doc 3: cherry df=1 is the rarest -> rank 1
+    assert sorted(by_doc[3], key=lambda r: r["rank"])[0]["token"] == "cherry"
+    # every doc returns at most top_k rows
+    assert all(len(v) <= 2 for v in by_doc.values())
