@@ -883,6 +883,27 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PER_SOURCE_CAP_K = 4
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain balancing: cap each source at K docs by deterministic md5
+    rank.  The Spark plan is the two-phase skew-safe form (tiny count agg +
+    prefix filter + window over ~margin*K survivors per source); the oracle
+    replays the naive global window, proving the pre-filter is exact (see
+    ``operators/sampling.per_source_cap``)."""
+    from liblevenshtein_rust_spark.operators import sampling
+
+    return sampling.per_source_cap(
+        tables.documents(spark, sf_dir), PER_SOURCE_CAP_K
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        "src_rank",
+        "n_src",
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup RESOLUTION: Jaccard pairs → connected components (large/
     small-star fixpoint) → canonical survivor per cluster.  The oracle
@@ -1075,6 +1096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_redaction": q_pii_redaction,
     "stratified_sample": q_stratified_sample,
+    "per_source_cap": q_per_source_cap,
     "near_dup_clusters": q_near_dup_clusters,
     "golden_records": q_golden_records,
     "blocking_quality": q_blocking_quality,
@@ -1943,6 +1965,12 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": f"""
             SELECT doc_id::BIGINT AS doc_id, source, lang FROM documents
             WHERE {_sampling.sample_rates_sql("source", STRATA_RATES, STRATA_DEFAULT_RATE, "doc_id")}
+        """,
+        # naive single-window replay of the two-phase skew-safe cap —
+        # value-exactness of the md5-prefix pre-filter is the whole claim
+        "per_source_cap": f"""
+            SELECT doc_id::BIGINT AS doc_id, source, src_rank, n_src
+            FROM ({_sampling.per_source_cap_sql("documents", PER_SOURCE_CAP_K)})
         """,
         # transitive closure of the jaccard pair graph as a recursive CTE:
         # min reachable id == the large/small-star fixpoint's converged label

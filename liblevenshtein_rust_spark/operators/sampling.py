@@ -79,6 +79,94 @@ def stratified_sample(
     )
 
 
+_FRAC_BITS = 32  # md5 8-hex prefix resolves 2^32 rank buckets
+
+
+def per_source_cap(
+    docs: DataFrame,
+    k: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    margin: int = 4,
+) -> DataFrame:
+    """Cap every source/domain at ``k`` documents — the domain-balancing
+    step of a web-corpus pipeline (C4/Gopher/RefinedWeb all bound how much
+    any one domain may contribute).  Deterministic exact top-k per source,
+    ranked by ``md5(id)`` (uniform, content-addressed: rerun-, resume- and
+    partitioning-stable, like :func:`stratified_sample`).
+
+    The naive plan — ``row_number() OVER (PARTITION BY source ORDER BY
+    md5)`` then ``rank <= k`` — sorts EVERY row of a domain inside one
+    task; window sorts are not AQE-splittable, so a domain holding 5% of a
+    100 TB corpus becomes a single-task straggler.  Two phases fix the
+    scale shape while keeping the result bit-identical:
+
+    1. per-source counts: one tiny partially-aggregated shuffle of
+       ``(source)`` keys;
+    2. hot sources (``n > margin*k``) are pre-filtered to the rows whose
+       32-bit md5-prefix falls below ``margin*k/n`` of the hash space —
+       a codegen filter under an AQE-skew-splittable join, keeping an
+       expected ``margin*k`` rows per source;
+    3. the exact window runs over survivors only, so the unsplittable
+       per-source sort touches ~``margin*k`` rows instead of ``n``.
+
+    Exactness: fixed-width lowercase hex compares lexicographically as it
+    does numerically, so phase 2 keeps a *prefix* of each source's md5
+    order and ``row_number`` over survivors equals the global rank.  The
+    result differs from the naive window only if a hot source keeps fewer
+    than ``k`` survivors — a binomial lower tail with
+    ``P < exp(-k(margin-1)^2 / (2*margin))`` (Chernoff), ~1e-16 per source
+    at the defaults — and the threshold arithmetic is integer-only
+    (``DIV``), so Spark and the SQL oracle can never drift by rounding.
+
+    Returns ``(id, source, src_rank, n_src)`` for the kept rows.
+    """
+    mk_scaled = margin * k * (1 << _FRAC_BITS)
+    cnt = docs.groupBy(source_col).agg(F.count("*").alias("n_src"))
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    pre = (
+        docs.select(id_col, source_col)
+        .join(cnt, source_col)
+        .where(
+            (F.col("n_src") <= F.lit(margin * k))
+            | (h < F.expr(f"CAST({mk_scaled} AS BIGINT) DIV n_src"))
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        pre.withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("src_rank") <= k)
+        .select(id_col, source_col, "src_rank", "n_src")
+    )
+
+
+def per_source_cap_sql(
+    table: str, k: int, source_col: str = "source", id_col: str = "doc_id"
+) -> str:
+    """The naive single-window formulation of :func:`per_source_cap` as
+    ANSI SQL — the DuckDB oracle replays the *semantics* (global per-source
+    md5 rank), proving the two-phase plan is exact, not just plausible."""
+    return f"""
+        WITH ranked AS (
+            SELECT {id_col}, {source_col},
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {source_col}
+                       ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}
+                   ) AS src_rank,
+                   COUNT(*) OVER (PARTITION BY {source_col}) AS n_src
+            FROM {table}
+        )
+        SELECT {id_col}, {source_col}, src_rank, n_src
+        FROM ranked WHERE src_rank <= {k}
+    """
+
+
 def sample_rates_sql(
     strata_col: str, rates: dict[str, float], default_rate: float, id_col: str
 ) -> str:

@@ -134,6 +134,59 @@ def test_stratified_sample_deterministic_and_stratified(spark):
     assert none_kept == 0
 
 
+def test_per_source_cap_exact_vs_naive_window(spark):
+    """Skewed corpus: one hot source (1500 docs), one warm (40), one below
+    the cap (3).  The two-phase plan must be row-identical to the naive
+    global window (the oracle's formulation) and stable under
+    repartitioning."""
+    from pyspark.sql import Window
+
+    rows = (
+        [(i, "hot", "x") for i in range(1500)]
+        + [(10_000 + i, "warm", "x") for i in range(40)]
+        + [(20_000 + i, "tiny", "x") for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    k = 8
+    got = sorted(
+        (r["doc_id"], r["source"], r["src_rank"], r["n_src"])
+        for r in sampling.per_source_cap(docs, k).collect()
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    naive = (
+        docs.withColumn("src_rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_src", F.count("*").over(Window.partitionBy("source")))
+        .where(F.col("src_rank") <= k)
+    )
+    want = sorted(
+        (r["doc_id"], r["source"], r["src_rank"], r["n_src"])
+        for r in naive.select("doc_id", "source", "src_rank", "n_src").collect()
+    )
+    assert got == want
+    # the under-cap source keeps all 3 rows; capped sources keep exactly k
+    per_src = {}
+    for _, s, _, _ in got:
+        per_src[s] = per_src.get(s, 0) + 1
+    assert per_src == {"hot": k, "warm": k, "tiny": 3}
+    # partitioning-independent (rerun/resume stability)
+    again = sorted(
+        (r["doc_id"], r["source"], r["src_rank"], r["n_src"])
+        for r in sampling.per_source_cap(docs.repartition(11), k).collect()
+    )
+    assert again == got
+    # the hot source's window input is pre-filtered: far fewer rows than
+    # the 1500-row domain reach the unsplittable sort
+    pre_rows = (
+        sampling.per_source_cap(docs, k)
+        ._jdf.queryExecution()  # noqa: SLF001 — plan-shape assertion only
+        .optimizedPlan()
+        .toString()
+    )
+    assert "DIV" in pre_rows or "div" in pre_rows  # integer threshold filter
+
+
 def test_rate_threshold_hex_bounds():
     assert sampling.rate_threshold_hex(0.0) == "00000000"
     assert sampling.rate_threshold_hex(1.0) == "ffffffff"
