@@ -20,6 +20,7 @@ from liblevenshtein_rust_spark.functions.phonetic import (
 from liblevenshtein_rust_spark.kernel.distances import STANDARD, TRANSPOSITION
 from liblevenshtein_rust_spark.operators import matching
 from liblevenshtein_rust_spark.operators import sampling as _sampling
+from liblevenshtein_rust_spark.operators import sessionize as _sessionize
 from liblevenshtein_rust_spark.sources import tables
 
 # ---------------------------------------------------------------------------
@@ -883,6 +884,29 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_S = 4 * 3600  # 4h splits near the sf0.01 median per-user gap
+
+
+def q_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events log — batch twin of the
+    stateful streaming sessions operator (§2.7) and the clickstream
+    primitive of a curation pipeline.  One shuffle on user_id end-to-end;
+    integer-microsecond arithmetic so the oracle replays it exactly (see
+    ``operators/sessionize``)."""
+    from liblevenshtein_rust_spark.operators import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize.gap_sessions(events, SESSION_GAP_S).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "session_idx",
+        "n_events",
+        "start_us",
+        "end_us",
+        "duration_us",
+        "n_types",
+    )
+
+
 PER_SOURCE_CAP_K = 4
 
 
@@ -1097,6 +1121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redaction": q_pii_redaction,
     "stratified_sample": q_stratified_sample,
     "per_source_cap": q_per_source_cap,
+    "gap_sessions": q_gap_sessions,
     "near_dup_clusters": q_near_dup_clusters,
     "golden_records": q_golden_records,
     "blocking_quality": q_blocking_quality,
@@ -1965,6 +1990,12 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": f"""
             SELECT doc_id::BIGINT AS doc_id, source, lang FROM documents
             WHERE {_sampling.sample_rates_sql("source", STRATA_RATES, STRATA_DEFAULT_RATE, "doc_id")}
+        """,
+        # lag + running-sum sessionization, integer-microsecond arithmetic
+        "gap_sessions": f"""
+            SELECT user_id::BIGINT AS user_id, session_idx, n_events,
+                   start_us, end_us, duration_us, n_types
+            FROM ({_sessionize.gap_sessions_sql("events", SESSION_GAP_S)})
         """,
         # naive single-window replay of the two-phase skew-safe cap —
         # value-exactness of the md5-prefix pre-filter is the whole claim

@@ -187,6 +187,51 @@ def test_per_source_cap_exact_vs_naive_window(spark):
     assert "DIV" in pre_rows or "div" in pre_rows  # integer threshold filter
 
 
+def test_gap_sessions_semantics(spark):
+    """Controlled event log: user 1 has two sessions split by a >gap
+    silence; user 2 has one single-event session.  Boundary case: a gap of
+    EXACTLY ``gap_s`` stays in-session (strict > splits)."""
+    import datetime as dt
+
+    from liblevenshtein_rust_spark.operators import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1, session 1: 0s, +60s, +120s (exactly gap -> same session)
+        (1, at(0), 10, "view"),
+        (2, at(60), 10, "click"),
+        (3, at(180), 10, "view"),  # 120s after prev == gap, stays
+        # silence of 121s > gap -> session 2
+        (4, at(301), 10, "buy"),
+        # user 2: one event
+        (5, at(50), 20, "view"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize.gap_sessions(events, gap_s=120).collect()
+    }
+    assert set(out) == {(10, 1), (10, 2), (20, 1)}
+    s1 = out[(10, 1)]
+    assert s1["n_events"] == 3 and s1["n_types"] == 2
+    assert s1["duration_us"] == 180 * 1_000_000
+    s2 = out[(10, 2)]
+    assert s2["n_events"] == 1 and s2["duration_us"] == 0
+    assert out[(20, 1)]["n_events"] == 1
+    # partitioning-independent
+    again = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in sessionize.gap_sessions(events.repartition(7), gap_s=120).collect()
+    }
+    assert again == {k: v["n_events"] for k, v in out.items()}
+
+
 def test_rate_threshold_hex_bounds():
     assert sampling.rate_threshold_hex(0.0) == "00000000"
     assert sampling.rate_threshold_hex(1.0) == "ffffffff"
