@@ -69,13 +69,40 @@ def _probes_df(spark: SparkSession, probes=None) -> DataFrame:
     return spark.createDataFrame([(p,) for p in (probes or PROBES)], "query string")
 
 
+_DICT_MEMO: dict = {}
+
+
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct token vocabulary of documents.text — the 'dictionary'."""
+    """Distinct token vocabulary of documents.text — the 'dictionary'.
+
+    Memoized + persisted per (session, sf_dir): the reference builds its
+    trie ONCE per corpus and serves every query from it (its published
+    query benchmarks walk a prebuilt index, ``README.md:415-419``);
+    rebuilding the full-corpus tokenization scan inside every ``queries()``
+    call billed that scan 20+ times per bench/correctness session — it was
+    ~70% of each fuzzy query's wall.  The cache is data-sized (~100k terms
+    per partition, same rule as the CC fixpoint) so a small vocab doesn't
+    pin shuffle-partition-count near-empty partitions under every
+    downstream Arrow kernel stage, while a 10^9-term vocab still spreads
+    cluster-wide.  Footprint: distinct terms only (Heaps-law sublinear),
+    one entry per (session, sf_dir).
+    """
+    key = (spark, sf_dir)
+    hit = _DICT_MEMO.get(key)
+    if hit is not None:
+        return hit
     docs = tables.documents(spark, sf_dir)
     toks = docs.select(
-        F.explode(F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")).alias("term")
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term")
     )
-    return toks.where(F.col("term") != "").distinct()
+    raw = toks.where(F.col("term") != "").distinct().persist()
+    n = raw.count()  # one-time build; exact size for the layout below
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    out = raw.repartition(max(1, min(cap, n // 100_000 + 1)), "term").persist()
+    out.count()
+    raw.unpersist()
+    _DICT_MEMO[key] = out
+    return out
 
 
 def _doc_token_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +110,7 @@ def _doc_token_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.documents(spark, sf_dir)
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " ")).alias("term"),
+        F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("term"),
     )
     return toks.where(F.col("term") != "")
 
