@@ -1006,6 +1006,57 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: documents rendered as
+    3-token lines, every line occurring in >= 5 distinct docs dropped, the
+    survivors reassembled in order.  The oracle replays the same line
+    segmentation, global frequency cutoff and ordered reassembly."""
+    from liblevenshtein_rust_spark.operators import dedup
+
+    docs = tables.documents(spark, sf_dir).select(
+        "doc_id", dedup.tokens_to_lines(F.col("text"), 3).alias("text")
+    )
+    out = dedup.line_dedup(docs, min_dup_docs=5)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+        "clean_text",
+    )
+
+
+def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online cluster maintenance (DynamicDawg::insert at pipeline level):
+    the planted copies arrive AFTER the originals were clustered; fold them
+    in via graph contraction + delta-sized CC.  The oracle recomputes the
+    FULL transitive closure from scratch — value-equality proves the
+    incremental path is exact, not approximate."""
+    from liblevenshtein_rust_spark.operators import clustering, dedup
+
+    corpus = _planted_corpus(spark, sf_dir)
+    old_docs = corpus.where(F.col("doc_id") < 100000)
+    new_docs = corpus.where(F.col("doc_id") >= 100000)
+    base = dedup.near_dup_clusters(old_docs, threshold=0.5).select(
+        F.col("doc_id").alias("node"), "cluster"
+    )
+    # pairs involving an arriving doc: right_id is the pair max and new ids
+    # exceed every standing id, so the predicate is exact
+    delta = dedup.ngram_jaccard_pairs(corpus, threshold=0.5).where(
+        F.col("right_id") >= 100000
+    )
+    out = clustering.incremental_cluster_update(
+        base,
+        delta,
+        new_docs.select(F.col("doc_id").alias("node")),
+        src="left_id",
+        dst="right_id",
+    )
+    return out.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+    )
+
+
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-scheme evaluation (reduction ratio + pairs completeness)
     for word-3-shingle keys against the planted duplicate truth pairs —
@@ -1172,7 +1223,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "per_source_cap": q_per_source_cap,
     "gap_sessions": q_gap_sessions,
+    "line_dedup": q_line_dedup,
     "near_dup_clusters": q_near_dup_clusters,
+    "incremental_clusters": q_incremental_clusters,
     "golden_records": q_golden_records,
     "blocking_quality": q_blocking_quality,
     "er_pair_metrics": q_er_pair_metrics,
@@ -2052,6 +2105,81 @@ def oracle_sql() -> dict[str, str]:
         "per_source_cap": f"""
             SELECT doc_id::BIGINT AS doc_id, source, src_rank, n_src
             FROM ({_sampling.per_source_cap_sql("documents", PER_SOURCE_CAP_K)})
+        """,
+        # same line segmentation (3-token groups), global >=5-doc frequency
+        # cutoff and ordered reassembly as the Spark plan
+        "line_dedup": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       unnest(range(0, len(string_split(text, ' ')))) AS pos
+                FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, pos // 3 AS lineno,
+                       string_agg(tok, ' ' ORDER BY pos) AS line
+                FROM toks GROUP BY doc_id, pos // 3
+            ),
+            boiler AS (
+                SELECT line FROM (
+                    SELECT line, count(DISTINCT doc_id) AS nd
+                    FROM lines GROUP BY line
+                ) WHERE nd >= 5
+            ),
+            kept AS (
+                SELECT * FROM lines
+                WHERE line NOT IN (SELECT line FROM boiler)
+            ),
+            agg AS (
+                SELECT doc_id, count(*)::INT AS n_kept,
+                       string_agg(line, chr(10) ORDER BY lineno) AS clean_text
+                FROM kept GROUP BY doc_id
+            ),
+            totals AS (
+                SELECT doc_id, count(*)::INT AS n_lines
+                FROM lines GROUP BY doc_id
+            )
+            SELECT t.doc_id::BIGINT AS doc_id, t.n_lines,
+                   coalesce(a.n_kept, 0)::INT AS n_kept,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM totals t LEFT JOIN agg a USING (doc_id)
+        """,
+        # FULL-graph transitive closure from scratch — equality against the
+        # incremental (contraction + delta CC) path proves it exact
+        "incremental_clusters": f"""
+            WITH RECURSIVE {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            nonempty AS (SELECT * FROM shing WHERE len(sh) > 0),
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM nonempty),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS left_id, c.doc_id AS right_id
+                FROM ex a JOIN ex c USING (g)
+                WHERE a.doc_id < c.doc_id
+            ),
+            paired AS (
+                SELECT cand.left_id, cand.right_id, s1.sh AS lsh, s2.sh AS rsh
+                FROM cand
+                JOIN nonempty s1 ON s1.doc_id = cand.left_id
+                JOIN nonempty s2 ON s2.doc_id = cand.right_id
+            ),
+            pairs AS (
+                SELECT left_id, right_id
+                FROM (SELECT left_id, right_id, {_JACCARD_EXPR} AS jaccard FROM paired)
+                WHERE jaccard >= 0.5
+            ),
+            edges AS (
+                SELECT left_id AS a, right_id AS b FROM pairs
+                UNION
+                SELECT right_id, left_id FROM pairs
+            ),
+            reach AS (
+                SELECT a AS node, a AS root FROM edges
+                UNION
+                SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            comp AS (SELECT node, min(root) AS cluster FROM reach GROUP BY node)
+            SELECT c.doc_id::BIGINT AS doc_id,
+                   coalesce(comp.cluster, c.doc_id)::BIGINT AS cluster
+            FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
         """,
         # transitive closure of the jaccard pair graph as a recursive CTE:
         # min reachable id == the large/small-star fixpoint's converged label

@@ -243,3 +243,98 @@ def cluster_matches(
     return comps.select(
         F.col("node").alias(id_col), F.col("component").alias("entity")
     )
+
+
+def incremental_cluster_update(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    new_nodes: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "cluster",
+    src: str = "src",
+    dst: str = "dst",
+    **cc_kwargs,
+) -> DataFrame:
+    """Fold a batch of new records into an EXISTING clustering without
+    recomputing it — the pipeline-level analog of the reference's online
+    ``DynamicDawg::insert`` (``/root/reference/src/dictionary/
+    dynamic_dawg.rs:344``): repair only what the delta touches.
+
+    Inputs:
+    - ``assignments``: the standing (node, cluster) table, cluster = min
+      member id (the CC fixpoint's converged label);
+    - ``new_edges``: match pairs involving at least one arriving node
+      (new-new and new-old edges; old-old edges are tolerated and contract
+      to self-loops);
+    - ``new_nodes``: the arriving batch, for singleton attachment.
+
+    Method — graph contraction: every old endpoint is replaced by its
+    cluster label, then connected components run on the CONTRACTED graph,
+    whose size is bounded by the delta (edges + touched clusters), never by
+    the corpus.  Because an existing label is the min of its members, the
+    contracted component min equals the full-graph component min, so the
+    result is IDENTICAL to re-running CC on the union graph (the oracle
+    checks exactly that).
+
+    Scale (10^12 standing rows, 10^6-row delta):
+    - the standing table is only ever the STREAMED side of two broadcast
+      hash joins (endpoint lookup, relabel) — zero shuffles of the big side,
+      no repartition; verify with .explain(): no Exchange above the
+      assignments scan;
+    - the CC fixpoint runs on the contracted delta graph only;
+    - with Iceberg the relabel is `MERGE INTO assignments USING relabel_map`
+      — same broadcast shape.
+
+    Output: (node, cluster) for ALL nodes (updated standing rows + the new
+    batch, singletons as their own cluster).
+    """
+    ep = (
+        new_edges.select(F.col(src).alias("n"))
+        .unionByName(new_edges.select(F.col(dst).alias("n")))
+        .distinct()
+    )
+    a = assignments.select(
+        F.col(node_col).alias("n"), F.col(cluster_col).alias("lbl")
+    )
+    # endpoint -> standing label; inner join keeps old endpoints only.
+    # Broadcast the DELTA side: the standing table streams through.
+    emap = a.join(F.broadcast(ep), "n").select("n", "lbl")
+    e = new_edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = (
+        e.join(
+            F.broadcast(emap.withColumnsRenamed({"n": "_s", "lbl": "_sl"})),
+            "_s",
+            "left",
+        )
+        .join(
+            F.broadcast(emap.withColumnsRenamed({"n": "_d", "lbl": "_dl"})),
+            "_d",
+            "left",
+        )
+        .select(
+            F.coalesce("_sl", "_s").alias("cu"),
+            F.coalesce("_dl", "_d").alias("cv"),
+        )
+    )
+    comps = connected_components(e, "cu", "cv", **cc_kwargs)
+    # comps nodes are old cluster labels or new node ids; split by membership
+    old_lbls = emap.select(F.col("lbl").alias("node")).distinct()
+    relabel = comps.join(F.broadcast(old_lbls), "node").select(
+        F.col("node").alias("_old"), F.col("component").alias("_new")
+    )
+    updated = assignments.join(
+        F.broadcast(relabel), assignments[cluster_col] == F.col("_old"), "left"
+    ).select(
+        F.col(node_col),
+        F.coalesce("_new", F.col(cluster_col)).alias(cluster_col),
+    )
+    fresh = (
+        new_nodes.select(F.col(node_col).alias("node"))
+        .distinct()
+        .join(F.broadcast(comps), "node", "left")
+        .select(
+            F.col("node").alias(node_col),
+            F.coalesce("component", F.col("node")).alias(cluster_col),
+        )
+    )
+    return updated.unionByName(fresh)

@@ -787,3 +787,97 @@ def contamination_overlap(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. line-level dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def tokens_to_lines(col, tokens_per_line: int = 3):
+    """Render a whitespace-token stream as newline-separated fixed-width
+    lines (``tokens_per_line`` tokens each; last line may be short).
+
+    Deterministic segmentation for corpora that arrive as one physical line
+    (the synthetic documents table) so line-level operators have real line
+    structure to work on; corpora with native newlines skip this step.
+    Pure codegen projection — no shuffle, no Python.
+    """
+    toks = F.split(col, " ")
+    n_lines = F.ceil(F.size(toks) / F.lit(tokens_per_line)).cast("int")
+    lines = F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(
+        # sequence() guard: sequence(1, 0) counts DOWN in Spark, hence the
+        # explicit empty-array branch above
+        F.transform(
+            F.sequence(F.lit(1), n_lines),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - 1) * tokens_per_line + 1, tokens_per_line)
+            ),
+        )
+    )
+    return F.concat_ws("\n", lines)
+
+
+def line_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_dup_docs: int = 5,
+) -> DataFrame:
+    """Line-level boilerplate removal, CCNet-style (Wenzek et al. 2020):
+    drop every line whose exact text occurs in >= ``min_dup_docs`` distinct
+    documents (nav bars, cookie banners, licence headers), reassemble the
+    survivors in original order.
+
+    Output: (doc_id, n_lines, n_kept, clean_text) — one row per input doc;
+    a fully-boilerplate doc survives with n_kept = 0 and clean_text = ''
+    (the caller's quality filter drops it, not this operator).
+
+    Scale (10^12 docs):
+    - two shuffles: the global line-frequency aggregate (keyed on the line
+      text; at scale key on ``md5(line)`` so the exchange carries 16-byte
+      digests — kept as raw text here so the DuckDB oracle replays exactly)
+      and the per-doc regroup;
+    - the boilerplate set is the >= threshold tail of the line-frequency
+      distribution — orders of magnitude smaller than the line table; the
+      anti-join broadcasts it under AQE (no forced hint: if a pathological
+      corpus makes it large, a shuffled anti-join is the correct fallback);
+    - order restoration is array_sort over (lineno, line) structs collected
+      per doc — line counts per doc are bounded, never corpus-sized.
+
+    Reference tie-in: the closest reference op is dictionary-level dedupe of
+    shared keys (``/root/reference/src/dictionary/dawg.rs`` suffix sharing);
+    line dedup is the corpus-curation analog the north star's training-data
+    pipeline needs.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("lineno", "line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_dup_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    agg = kept.groupBy("id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lineno", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("n_lines"),
+    )
+    return totals.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
