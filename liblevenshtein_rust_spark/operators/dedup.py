@@ -881,3 +881,110 @@ def line_dedup(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. exact duplicated-substring spans (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+
+def positional_word_windows(col, window_tokens: int):
+    """All stride-1 ``window_tokens``-token windows of normalized text, with
+    their start-token position: ``array<struct<pos:int, win:string>>``.
+    Docs shorter than the window yield an empty array (explicit guard —
+    ``sequence(0, n-w)`` would count DOWN for n < w)."""
+    toks = F.split(normalize_text(col), " ")
+
+    def build(tk):
+        n = F.size(tk)
+        empty = F.array().cast("array<struct<pos:int,win:string>>")
+        return F.when(n < window_tokens, empty).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - window_tokens),
+                lambda i: F.struct(
+                    i.cast("int").alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice(toks, i + 1, window_tokens)
+                    ).alias("win"),
+                ),
+            )
+        )
+
+    return let_bound(toks, build)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection over token windows — the
+    corpus-level substring dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", ExactSubstr), reformulated for a
+    shuffle engine: instead of a global suffix array, every stride-1
+    ``window_tokens``-token window is hashed, windows whose exact text occurs
+    in >= ``min_dup_docs`` DISTINCT docs are marked, and per doc the marked
+    (overlapping) windows are merged into maximal duplicated spans.
+
+    Output: one row per merged span — (doc_id, start_tok, end_tok,
+    n_windows); end_tok inclusive.  A downstream cutter removes
+    ``[start_tok, end_tok]`` from the training copy of the doc.
+
+    Scale (10^12 docs):
+    - the window table is ~|tokens| rows — the inherent cost of suffix-level
+      dedup without a distributed suffix array; the exchange carries only
+      (id, pos, 16-byte md5), never window text;
+    - the frequency cutoff is a partial-aggregating groupBy on the digest
+      (map-side combine collapses each doc's repeated windows first);
+    - the dup-digest set (windows seen in >= threshold docs) is the heavy
+      tail of the distribution — orders of magnitude smaller than the window
+      table; it returns via a LEFT SEMI join that AQE broadcasts when small;
+    - span merging is a per-doc gaps-and-islands (lag + running sum) on the
+      id shuffle — windows per doc are doc-length-bounded, never
+      corpus-sized.
+
+    Reference tie-in: the suffix-automaton substring index
+    (``/root/reference/src/dictionary/suffix_automaton.rs:457``) answers
+    "which dictionary substrings occur elsewhere" for ONE string; this is
+    the corpus-scale analog the training-data north star needs.
+    """
+    wins = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(positional_word_windows(F.col(text_col), window_tokens)).alias("x"),
+    ).select("id", F.col("x.pos").alias("pos"), F.md5("x.win").alias("h"))
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") >= min_dup_docs)
+        .select("h")
+    )
+    hits = wins.join(dup, "h", "left_semi")
+    from pyspark.sql import Window
+
+    w_ = Window.partitionBy("id").orderBy("pos")
+    # ranges [pos, pos+w-1] merge when they overlap OR touch: a new island
+    # starts only when pos > prev_pos + window_tokens (two window steps —
+    # Spark forbids lag() nested inside sum(); both ride the same id sort)
+    flagged = hits.withColumn(
+        "f",
+        F.when(
+            F.col("pos") > F.lag("pos").over(w_) + window_tokens, 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.withColumn("grp", F.sum("f").over(w_))
+        .groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            (F.max("pos") + window_tokens - 1).alias("end_tok"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("start_tok").cast("int"),
+            F.col("end_tok").cast("int"),
+            F.col("n_windows").cast("int"),
+        )
+    )
