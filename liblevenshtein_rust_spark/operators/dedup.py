@@ -901,10 +901,13 @@ def positional_word_windows(col, window_tokens: int):
         return F.when(n < window_tokens, empty).otherwise(
             F.transform(
                 F.sequence(F.lit(0), n - window_tokens),
+                # slice the BOUND token array (tk), never the outer `toks`
+                # expression — interpreted HOFs re-evaluate unbound subtrees
+                # per lambda call, turning O(T) into O(T^2) string work
                 lambda i: F.struct(
                     i.cast("int").alias("pos"),
                     F.concat_ws(
-                        " ", F.slice(toks, i + 1, window_tokens)
+                        " ", F.slice(tk, i + 1, window_tokens)
                     ).alias("win"),
                 ),
             )
@@ -935,7 +938,10 @@ def duplicate_spans(
     Scale (10^12 docs):
     - the window table is ~|tokens| rows — the inherent cost of suffix-level
       dedup without a distributed suffix array; the exchange carries only
-      (id, pos, 16-byte md5), never window text;
+      (id, pos, 16-byte md5), never window text (md5 is kept here so the
+      DuckDB oracle replays the digest bit-for-bit; at production scale use
+      ``F.xxhash64`` — half the exchange bytes, and a collision merely
+      flags one spurious duplicate window, it cannot lose a real one);
     - the frequency cutoff is a partial-aggregating groupBy on the digest
       (map-side combine collapses each doc's repeated windows first);
     - the dup-digest set (windows seen in >= threshold docs) is the heavy
