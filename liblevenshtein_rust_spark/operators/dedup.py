@@ -994,3 +994,69 @@ def duplicate_spans(
             F.col("n_windows").cast("int"),
         )
     )
+
+
+def cut_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove flagged token ranges from each document and reassemble the
+    survivors — the CUT step that consumes :func:`duplicate_spans` output
+    (Lee et al. 2022 drop the duplicated occurrence from the training copy;
+    cutting every flagged range is the symmetric-and-deterministic variant,
+    documented here).
+
+    ``spans``: (doc_id, start_tok, end_tok) with end_tok inclusive, in the
+    same normalized-token coordinates :func:`duplicate_spans` emits.
+
+    Output: (doc_id, n_tokens, n_cut, clean_text) — one row per input doc,
+    untouched docs pass through with n_cut = 0.
+
+    Scale (10^12 docs):
+    - ONE equi-join on doc_id: spans are first collapsed to one
+      array<struct<start,end>> row per doc (span counts per doc are
+      doc-length-bounded, never corpus-sized), so no token-level range join
+      ever happens;
+    - the keep/cut decision is an array `exists` per token inside one
+      projection — no shuffle beyond the doc_id join;
+    - reassembly filters the bound token array in place (positions stay
+      intact), zero extra exchange.
+    """
+    per_doc = spans.groupBy(F.col(id_col).alias("_id")).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+
+    def build(tk):
+        n = F.size(tk)
+        keep = F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: ~F.exists(
+                F.col("_spans"),
+                lambda s: (i >= s["start_tok"]) & (i <= s["end_tok"]),
+            ),
+        )
+        return F.struct(
+            n.alias("_n"),
+            (n - F.size(keep)).alias("_cut"),
+            F.concat_ws(
+                " ", F.transform(keep, lambda i: F.element_at(tk, i + 1))
+            ).alias("_txt"),
+        )
+
+    joined = docs.join(per_doc, docs[id_col] == F.col("_id"), "left")
+    out = joined.select(
+        F.col(id_col),
+        F.when(F.col("_spans").isNull(), None)
+        .otherwise(let_bound(toks, build))
+        .alias("_r"),
+        toks.alias("_tk"),
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("_r._n"), F.size("_tk")).cast("int").alias("n_tokens"),
+        F.coalesce(F.col("_r._cut"), F.lit(0)).cast("int").alias("n_cut"),
+        F.coalesce(F.col("_r._txt"), F.concat_ws(" ", "_tk")).alias("clean_text"),
+    )

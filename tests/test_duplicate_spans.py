@@ -77,3 +77,32 @@ def test_normalization_feeds_windows(spark):
         min_dup_docs=2,
     )
     assert (1, 1, 3) in got and (2, 1, 3) in got
+
+
+def test_cut_spans_removes_ranges_and_passes_untouched_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "keep all of this text")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 2, 5)], "doc_id long, start_tok int, end_tok int"
+    )
+    out = {r["doc_id"]: r for r in dedup.cut_spans(docs, spans).collect()}
+    assert out[1]["clean_text"] == "a b g h"
+    assert (out[1]["n_tokens"], out[1]["n_cut"]) == (8, 4)
+    assert out[2]["clean_text"] == "keep all of this text"
+    assert (out[2]["n_tokens"], out[2]["n_cut"]) == (5, 0)
+
+
+def test_cut_spans_composes_with_detection(spark):
+    """Detection then cut: the shared run vanishes from both docs, the
+    unique remainders survive."""
+    docs = spark.createDataFrame(
+        [(1, "u1 u2 c d e f1 f2"), (2, "v1 v2 c d e w1 w2")],
+        "doc_id long, text string",
+    )
+    spans = dedup.duplicate_spans(docs, window_tokens=3, min_dup_docs=2)
+    out = {r["doc_id"]: r for r in dedup.cut_spans(docs, spans).collect()}
+    assert out[1]["clean_text"] == "u1 u2 f1 f2"
+    assert out[2]["clean_text"] == "v1 v2 w1 w2"
+    assert out[1]["n_cut"] == 3 and out[2]["n_cut"] == 3
