@@ -828,6 +828,21 @@ def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with the corpus's own unigram model:
+    per-doc cross-entropy ln(N) - avg(ln(c_tok)) and its exp (perplexity).
+    Self-training keeps every count >= 1, so the oracle replays the exact
+    closed form with no smoothing term."""
+    from liblevenshtein_rust_spark.operators import text
+
+    return text.unigram_perplexity(tables.documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "cross_entropy",
+        "perplexity",
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from liblevenshtein_rust_spark.operators import text
 
@@ -1286,6 +1301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_query_multichar_ops": q_fuzzy_query_multichar_ops,
     "token_stats": q_token_stats,
     "quality_features": q_quality_features,
+    "unigram_perplexity": q_unigram_perplexity,
     "chunk_documents": q_chunk_documents,
     "tfidf_keywords": q_tfidf_keywords,
     "lang_id": q_lang_id,
@@ -2027,6 +2043,28 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY doc_id ORDER BY score DESC, token) AS rank
                   FROM scored)
             WHERE rank <= 3
+        """,
+        # self-unigram LM: every token count >= 1, so the closed form
+        # ln(N) - avg(ln(c)) replays exactly (rounded to 6dp on both sides)
+        "unigram_perplexity": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(regexp_replace(trim(regexp_replace(
+                           lower(text), '[^a-z0-9 ]+', ' ', 'g')),
+                           '\\s+', ' ', 'g'), ' ')) AS tok
+                FROM documents
+            ),
+            ne AS (SELECT * FROM toks WHERE tok <> ''),
+            counts AS (SELECT tok, count(*) AS c FROM ne GROUP BY tok),
+            tot AS (SELECT sum(c)::DOUBLE AS n FROM counts),
+            per AS (
+                SELECT doc_id, count(*)::INT AS n_tokens, avg(ln(c)) AS alc
+                FROM ne JOIN counts USING (tok) GROUP BY doc_id
+            )
+            SELECT doc_id::BIGINT AS doc_id, n_tokens,
+                   round(ln(n) - alc, 6) AS cross_entropy,
+                   round(exp(ln(n) - alc), 6) AS perplexity
+            FROM per, tot
         """,
         "quality_features": f"""
             WITH feats AS (

@@ -365,3 +365,60 @@ def tfidf_keywords(
         .where(F.col("rank") <= top_k)
         .select(id_col, "token", "tf", "df", "score", "rank")
     )
+
+
+def unigram_perplexity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's OWN unigram language
+    model — the LM quality filter of CCNet (Wenzek et al. 2020) with the
+    corpus itself as the model (self-perplexity): documents whose token
+    distribution diverges from the corpus (gibberish, boilerplate, wrong
+    language) score high and get filtered or bucketed downstream.
+
+    Self-training means every token has count >= 1, so no smoothing term is
+    needed and the score is exactly replayable in SQL:
+
+        cross_entropy(d) = ln(N) - avg_{t in d} ln(c_t)
+        perplexity(d)    = exp(cross_entropy)
+
+    with c_t = corpus count of token t and N = total corpus tokens.
+
+    Output: (doc_id, n_tokens, cross_entropy, perplexity), both scores
+    rounded to 6 decimals (summation order across partitions differs from
+    the oracle's at ~1e-15 relative; rounding removes the noise).
+
+    Scale (10^12 docs):
+    - the model is ONE groupBy over exploded tokens (map-side combine) —
+      vocabulary grows ~sqrt(corpus) (Heaps), so the count table is
+      orders smaller than the corpus and AQE broadcasts it into the
+      scoring join (no forced hint: a pathological vocabulary falls back
+      to a shuffled join, which is still linear);
+    - the total-N side is a 1-row aggregate cross-joined in (broadcast);
+    - scoring is one join + one per-doc aggregate — token rows carry
+      (id, 8-byte ln) through the final exchange, never text.
+    """
+    from liblevenshtein_rust_spark.operators.dedup import normalize_text
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").cast("double").alias("_n"))
+    per_doc = (
+        toks.join(counts, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_tokens"),
+            F.avg(F.log("c")).alias("_avg_ln_c"),
+        )
+        .join(F.broadcast(total))
+    )
+    ce = F.log("_n") - F.col("_avg_ln_c")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )

@@ -472,3 +472,45 @@ def test_tfidf_keywords_ranking(spark):
     assert sorted(by_doc[3], key=lambda r: r["rank"])[0]["token"] == "cherry"
     # every doc returns at most top_k rows
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+# ---------------------------------------------------------------------------
+# unigram self-perplexity (CCNet-style LM quality score)
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_perplexity_closed_form(spark):
+    """Hand-computed corpus: tokens {a:3, b:2, c:1}, N=6.
+    doc1 = "a a b": ce = ln6 - (2*ln3 + ln2)/3; doc2 = "a b c": ce = ln6 -
+    (ln3 + ln2 + ln1)/3.  The rarer-token doc scores strictly higher."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.unigram_perplexity(docs).collect()}
+    ce1 = math.log(6) - (2 * math.log(3) + math.log(2)) / 3
+    ce2 = math.log(6) - (math.log(3) + math.log(2) + 0.0) / 3
+    assert abs(out[1]["cross_entropy"] - round(ce1, 6)) < 1e-9
+    assert abs(out[2]["cross_entropy"] - round(ce2, 6)) < 1e-9
+    assert out[2]["cross_entropy"] > out[1]["cross_entropy"]
+    assert abs(out[1]["perplexity"] - round(math.exp(ce1), 6)) < 1e-6
+    assert (out[1]["n_tokens"], out[2]["n_tokens"]) == (3, 3)
+
+
+def test_unigram_perplexity_flags_divergent_doc(spark):
+    """A gibberish doc full of hapaxes scores the corpus-maximum
+    cross-entropy ln(N) (every token count = 1)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat the end"),
+         (2, "the cat sat on the mat again ok"),
+         (3, "zxq qqv jjw kkp")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.unigram_perplexity(docs).collect()}
+    n_total = 8 + 8 + 4
+    assert abs(out[3]["cross_entropy"] - round(math.log(n_total), 6)) < 1e-9
+    assert out[3]["cross_entropy"] > out[1]["cross_entropy"]
+    assert out[3]["cross_entropy"] > out[2]["cross_entropy"]
