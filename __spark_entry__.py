@@ -1107,6 +1107,27 @@ def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-level decontamination (GPT-3 n-gram-overlap rule as spans):
+    8-token windows of TRAIN docs (doc_id % 5 != 0) whose exact text occurs
+    anywhere in the EVAL split (doc_id % 5 == 0), merged to maximal spans.
+    The oracle replays the split, window probe and islands merge."""
+    from liblevenshtein_rust_spark.operators import dedup
+
+    docs = tables.documents(spark, sf_dir)
+    out = dedup.contamination_spans(
+        docs.where(F.col("doc_id") % 5 != 0),
+        docs.where(F.col("doc_id") % 5 == 0),
+        window_tokens=8,
+    )
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "start_tok",
+        "end_tok",
+        "n_windows",
+    )
+
+
 def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Online cluster maintenance (DynamicDawg::insert at pipeline level):
     the planted copies arrive AFTER the originals were clustered; fold them
@@ -1314,6 +1335,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup": q_line_dedup,
     "duplicate_spans": q_duplicate_spans,
     "cut_spans": q_cut_spans,
+    "contamination_spans": q_contamination_spans,
     "near_dup_clusters": q_near_dup_clusters,
     "incremental_clusters": q_incremental_clusters,
     "golden_records": q_golden_records,
@@ -1372,10 +1394,9 @@ shing AS (
 )
 """
 
-# duplicate_spans detection chain (tokenize → stride-1 8-token windows →
-# >=2-distinct-doc cutoff → gaps-and-islands grouping); shared by the
-# duplicate_spans and cut_spans oracles
-_DUPSPAN_CTES = """
+# stride-1 8-token window enumeration over the documents table (tokenize →
+# positional windows); shared by every span-level oracle
+_WINDOWS_CTES = """
 t AS (
     SELECT doc_id,
            string_split(regexp_replace(trim(regexp_replace(
@@ -1389,17 +1410,12 @@ wins AS (
            unnest([array_to_string(tk[i:i+7], ' ')
                    FOR i IN generate_series(1, len(tk) - 7)]) AS win
     FROM t WHERE len(tk) >= 8
-),
-dup AS (
-    SELECT win FROM (
-        SELECT win, count(DISTINCT doc_id) AS nd
-        FROM wins GROUP BY win
-    ) WHERE nd >= 2
-),
-hits AS (
-    SELECT doc_id, pos FROM wins
-    WHERE win IN (SELECT win FROM dup)
-),
+)
+"""
+
+# gaps-and-islands merge of flagged (doc_id, pos) windows — expects a
+# `hits` CTE upstream
+_ISLANDS_CTES = """
 flagged AS (
     SELECT doc_id, pos,
            CASE WHEN pos > lag(pos) OVER
@@ -1414,6 +1430,21 @@ isl AS (
     FROM flagged
 )
 """
+
+# duplicate_spans detection chain (windows → >=2-distinct-doc cutoff →
+# islands); shared by the duplicate_spans and cut_spans oracles
+_DUPSPAN_CTES = _WINDOWS_CTES + """,
+dup AS (
+    SELECT win FROM (
+        SELECT win, count(DISTINCT doc_id) AS nd
+        FROM wins GROUP BY win
+    ) WHERE nd >= 2
+),
+hits AS (
+    SELECT doc_id, pos FROM wins
+    WHERE win IN (SELECT win FROM dup)
+),
+""" + _ISLANDS_CTES
 
 _JACCARD_EXPR = (
     "round(len(list_filter(lsh, x -> list_contains(rsh, x))) / "
@@ -2302,6 +2333,24 @@ def oracle_sql() -> dict[str, str]:
         # cutoff and gaps-and-islands merge as the Spark plan
         "duplicate_spans": f"""
             WITH {_DUPSPAN_CTES}
+            SELECT doc_id::BIGINT AS doc_id,
+                   min(pos)::INT AS start_tok,
+                   (max(pos) + 7)::INT AS end_tok,
+                   count(*)::INT AS n_windows
+            FROM isl GROUP BY doc_id, grp
+        """,
+        # train/eval split by doc_id mod, eval window-set probe, islands
+        "contamination_spans": f"""
+            WITH {_WINDOWS_CTES},
+            twins AS (SELECT * FROM wins WHERE doc_id % 5 <> 0),
+            ewins AS (
+                SELECT DISTINCT win FROM wins WHERE doc_id % 5 = 0
+            ),
+            hits AS (
+                SELECT doc_id, pos FROM twins
+                WHERE win IN (SELECT win FROM ewins)
+            ),
+            {_ISLANDS_CTES}
             SELECT doc_id::BIGINT AS doc_id,
                    min(pos)::INT AS start_tok,
                    (max(pos) + 7)::INT AS end_tok,

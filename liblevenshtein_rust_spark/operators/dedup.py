@@ -967,6 +967,16 @@ def duplicate_spans(
         .select("h")
     )
     hits = wins.join(dup, "h", "left_semi")
+    return merge_window_hits(hits, window_tokens, id_col)
+
+
+def merge_window_hits(
+    hits: DataFrame, window_tokens: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge flagged (id, pos) windows into maximal [start_tok, end_tok]
+    spans per doc — gaps-and-islands on the id shuffle.  Shared by
+    :func:`duplicate_spans` (intra-corpus) and :func:`contamination_spans`
+    (cross-corpus)."""
     from pyspark.sql import Window
 
     w_ = Window.partitionBy("id").orderBy("pos")
@@ -994,6 +1004,48 @@ def duplicate_spans(
             F.col("n_windows").cast("int"),
         )
     )
+
+
+def contamination_spans(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 8,
+) -> DataFrame:
+    """POSITION-level train/eval decontamination — the n-gram-overlap rule
+    of GPT-3 appendix C / Brown et al. (13-gram collisions), as spans: every
+    ``window_tokens``-token window of a TRAINING doc whose exact text also
+    occurs anywhere in the EVAL corpus is flagged, and flagged windows merge
+    into maximal contaminated spans ready for :func:`cut_spans`.
+
+    Complements :func:`contamination_overlap` (doc-level shared-shingle
+    counts — "which docs to audit"): this gives the exact token ranges to
+    surgically remove so the training copy survives minus the leaked text.
+
+    Output: (doc_id, start_tok, end_tok, n_windows) over TRAIN docs.
+
+    Scale: the eval side is the small side by construction (benchmarks are
+    ~10^3-10^6 docs vs 10^12 train) — its DISTINCT window-digest set is what
+    the LEFT SEMI join probes, broadcast under AQE; the train window table
+    streams through exactly as in :func:`duplicate_spans`, carrying
+    (id, pos, digest) only.
+    """
+    t_wins = train.select(
+        F.col(id_col).alias("id"),
+        F.explode(positional_word_windows(F.col(text_col), window_tokens)).alias("x"),
+    ).select("id", F.col("x.pos").alias("pos"), F.md5("x.win").alias("h"))
+    e_wins = (
+        eval_docs.select(
+            F.explode(
+                positional_word_windows(F.col(text_col), window_tokens)
+            ).alias("x")
+        )
+        .select(F.md5("x.win").alias("h"))
+        .distinct()
+    )
+    hits = t_wins.join(e_wins, "h", "left_semi")
+    return merge_window_hits(hits, window_tokens, id_col)
 
 
 def cut_spans(

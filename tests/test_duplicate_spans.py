@@ -106,3 +106,28 @@ def test_cut_spans_composes_with_detection(spark):
     assert out[1]["clean_text"] == "u1 u2 f1 f2"
     assert out[2]["clean_text"] == "v1 v2 w1 w2"
     assert out[1]["n_cut"] == 3 and out[2]["n_cut"] == 3
+
+
+def test_contamination_spans_cross_corpus_only(spark):
+    """Only train windows whose exact text appears in EVAL flag; train-train
+    duplication is NOT contamination (that's duplicate_spans's job)."""
+    train = spark.createDataFrame(
+        [
+            (1, "t1 t2 leaked eval phrase here t3 t4"),
+            (2, "same train text repeated x y z"),
+            (3, "same train text repeated q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "intro leaked eval phrase here outro")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["start_tok"], r["end_tok"]): r["n_windows"]
+        for r in dedup.contamination_spans(
+            train, ev, window_tokens=3
+        ).collect()
+    }
+    # "leaked eval phrase here" = tokens 2..5 of doc 1 (two 3-token windows)
+    assert got == {(1, 2, 5): 2}
