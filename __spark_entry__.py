@@ -1364,7 +1364,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    # Sequential consumers (the correctness harness runs all ~60 entries in
+    # one session: build query i, materialize, build i+1, ...) would
+    # otherwise accumulate every operator's pooled cache (pooled_persist in
+    # blocking/dedup/er) for the whole sweep.  Releasing the PREVIOUS
+    # query's caches when the NEXT one is built is safe — by then the prior
+    # result has been materialized — and keeps the session's storage
+    # footprint at one query's working set.  bench.py does its own
+    # release_pooled() per timing window; a redundant release is a no-op.
+    def _releasing(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from liblevenshtein_rust_spark.session import release_pooled
+
+            release_pooled()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        return wrapped
+
+    return {name: _releasing(fn) for name, fn in QUERIES.items()}
 
 
 # DuckDB CTEs mirroring the dedup operators' text canonicalization exactly
