@@ -1247,6 +1247,30 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through the broadcast-Bloom prefilter
+    (functions/bloom.py): the train side is filtered by a bit array built
+    from the eval shingle set BEFORE any shuffle; the exact verify join
+    then removes Bloom false positives, so the result — and the oracle —
+    are identical to `contamination_overlap`.  The two queries share one
+    oracle SQL by construction; what differs is the physical plan (an
+    ArrowEvalPython membership filter in the train scan stage instead of a
+    full-corpus shuffle — PLANS.md)."""
+    from liblevenshtein_rust_spark.operators import dedup
+
+    docs = tables.documents(spark, sf_dir).select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 10 == 0)
+    out = dedup.bloom_contamination_overlap(
+        train, eval_docs, min_shared=2, max_df=50, fpp=0.01
+    )
+    return out.select(
+        F.col("eval_id").cast("bigint").alias("eval_id"),
+        F.col("train_id").cast("bigint").alias("train_id"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+    )
+
+
 def q_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typing-session fold (ContextualCompletionEngine session semantics,
     reference ``contextual/engine.rs:596-713``) as the batch twin of the
@@ -1343,6 +1367,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_pair_metrics": q_er_pair_metrics,
     "er_cluster_bcubed": q_er_cluster_bcubed,
     "contamination_overlap": q_contamination_overlap,
+    "bloom_contamination": q_bloom_contamination,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1586,6 +1611,15 @@ def _pii_redaction_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS_CTE.format(probes=_PROBES_SQL_VALUES)
     toks_prefix = _TOKS_CTE.format(probes=_PREFIX_PROBES_SQL_VALUES)
+    out = _oracle_sql_dict(toks, toks_prefix)
+    # The Bloom-prefiltered decontamination is value-identical to the exact
+    # operator BY CONSTRUCTION (the verify join removes false positives;
+    # parity asserted in test_bloom_contamination_parity) — same oracle.
+    out["bloom_contamination"] = out["contamination_overlap"]
+    return out
+
+
+def _oracle_sql_dict(toks: str, toks_prefix: str) -> dict[str, str]:
     return {
         "fuzzy_query_d2_standard": f"""
             WITH {toks}

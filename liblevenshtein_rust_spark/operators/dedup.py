@@ -789,6 +789,63 @@ def contamination_overlap(
     )
 
 
+def bloom_contamination_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_shared: int = 2,
+    max_df: int | None = 1000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """:func:`contamination_overlap` with a broadcast Bloom prefilter on the
+    train side — identical output, 100 TB-shaped execution.
+
+    The exact operator shuffles EVERY train shingle into the join; at
+    10^12 docs that exchange dwarfs everything else while the eval side is
+    bounded (a benchmark suite is millions of n-grams at most).  Here the
+    eval shingle set is reduced to a Bloom bit array (fpp=1% → ~1.2 GB per
+    10^9 distinct shingles), broadcast once, and applied as an Arrow-batched
+    filter in the train scan stage — only probable leaks reach the shuffle.
+    The exact join that follows removes Bloom false positives, so the
+    output is row-for-row identical to :func:`contamination_overlap`
+    (asserted by test_bloom_contamination_parity; the same oracle SQL
+    replays both).
+
+    The ``max_df`` boilerplate guard is computed on the post-filter table:
+    a surviving shingle's document frequency is unchanged by the filter
+    (membership depends only on the shingle), so the kept/dropped decision
+    is identical to the exact operator's — while the df aggregation now
+    runs over survivors only.
+    """
+    from ..functions.bloom import BroadcastBloom
+
+    e = _shingle_base(eval_docs, text_col, id_col, k).select(
+        F.col("id").alias("eval_id"), F.explode("sh").alias("g")
+    )
+    bloom = BroadcastBloom.from_column(e, "g", fpp=fpp)
+    t = (
+        _shingle_base(train, text_col, id_col, k)
+        .select(F.col("id").alias("train_id"), F.explode("sh").alias("g"))
+        .where(bloom.might_contain(F.col("g")))
+    )
+    if max_df is not None:
+        hot = (
+            t.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("g")
+        )
+        t = t.join(F.broadcast(hot), "g", "left_anti")
+    return (
+        e.join(t, "g")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
 # ---------------------------------------------------------------------------
 # 7. line-level dedup (CCNet-style boilerplate removal)
 # ---------------------------------------------------------------------------
