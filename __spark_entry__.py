@@ -1247,6 +1247,46 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass curation gate (operators/text.curate_documents): every
+    row-local filter — quality band, language allowlist, duplicate-bigram
+    fraction, PII density — in a single zero-shuffle codegen projection
+    with an auditable per-doc reason ledger.  PII and repetition are
+    planted deterministically (docs %7: two emails + phone + IP > max_pii;
+    docs %11: a 20x-repeated bigram pushing dup_frac past 0.2) so every
+    rule fires somewhere; the oracle replays the planted text and all
+    seven rules."""
+    from liblevenshtein_rust_spark.operators import text
+
+    docs = tables.documents(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(
+                    " contact u@example.com tel 555-010-0001"
+                    " host 10.0.0.1 cc x@example.org"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.repeat(F.lit(" repeat token"), 20)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = text.curate_documents(planted, allowed_langs=("en", "de"), max_pii=2)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "keep",
+        "reasons",
+        "quality_score",
+        "lang_pred",
+        "dup_frac",
+        F.col("pii_hits").cast("int").alias("pii_hits"),
+    )
+
+
 def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination through the broadcast-Bloom prefilter
     (functions/bloom.py): the train side is filtered by a bit array built
@@ -1368,6 +1408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_cluster_bcubed": q_er_cluster_bcubed,
     "contamination_overlap": q_contamination_overlap,
     "bloom_contamination": q_bloom_contamination,
+    "curate_documents": q_curate_documents,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1608,10 +1649,96 @@ def _pii_redaction_sql() -> str:
     return sql
 
 
+def _curate_documents_sql() -> str:
+    """DuckDB twin of q_curate_documents, generated from the operator's own
+    PII_PATTERNS / LANG_MARKERS / stopword list so no rule can drift."""
+    from liblevenshtein_rust_spark.operators.text import LANG_MARKERS, PII_PATTERNS
+
+    pii_terms = " + ".join(
+        "len(regexp_extract_all(t, '%s'))" % pat.replace("'", "''")
+        for _name, pat, _tag in PII_PATTERNS
+    )
+    langs = list(LANG_MARKERS)
+    hit_cols = ",\n                   ".join(
+        "len(list_filter(tl, x -> list_contains([%s], x))) AS %s_h"
+        % (", ".join("'%s'" % m for m in LANG_MARKERS[lang]), lang)
+        for lang in langs
+    )
+    best = "greatest(%s)" % ", ".join(f"{lang}_h" for lang in langs)
+    pick = f"CASE WHEN {best} = 0 THEN 'und'\n"
+    for lang in langs[:-1]:
+        pick += f"                        WHEN {lang}_h = {best} THEN '{lang}'\n"
+    pick += f"                        ELSE '{langs[-1]}' END AS lang_pred"
+    return f"""
+        WITH src AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact u@example.com tel 555-010-0001 host 10.0.0.1 cc x@example.org'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN repeat(' repeat token', 20) ELSE '' END AS t
+            FROM documents
+        ),
+        feats AS (
+            SELECT doc_id, t,
+                   length(t) AS n_chars,
+                   CASE WHEN length(trim(t)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(t), '\\s+')) END AS n_tokens,
+                   length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS alpha,
+                   list_transform(regexp_split_to_array(trim(t), '\\s+'), x -> lower(x)) AS tl,
+                   string_split(regexp_replace(trim(regexp_replace(lower(t),
+                       '[^a-z0-9 ]+', ' ', 'g')), '\\s+', ' ', 'g'), ' ') AS ntk,
+                   ({pii_terms})::INT AS pii_hits
+            FROM src
+        ),
+        d1 AS (
+            SELECT doc_id, n_tokens, pii_hits,
+                   CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+                   CASE WHEN n_tokens > 0 THEN (n_chars - (n_tokens - 1)) / n_tokens ELSE 0.0 END AS mean_word_len,
+                   len(list_distinct(list_filter(tl, x -> list_contains({_QUALITY_STOPWORDS_SQL}, x)))) AS stop_hits,
+                   {hit_cols},
+                   CASE WHEN len(ntk) < 2 THEN CAST([] AS VARCHAR[])
+                        ELSE [array_to_string(ntk[i:i+1], ' ')
+                              FOR i IN generate_series(1, len(ntk) - 1)] END AS grams
+            FROM feats
+        ),
+        d2 AS (
+            SELECT doc_id, n_tokens, pii_hits, alpha_ratio, mean_word_len, stop_hits,
+                   {pick},
+                   CASE WHEN len(grams) > 0
+                        THEN round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+                        ELSE 0.0 END AS dup_frac
+            FROM d1
+        ),
+        d3 AS (
+            SELECT doc_id,
+                   concat_ws(',',
+                       CASE WHEN n_tokens < 5 OR n_tokens > 100000 THEN 'length' END,
+                       CASE WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_len' END,
+                       CASE WHEN alpha_ratio < 0.6 THEN 'alpha' END,
+                       CASE WHEN stop_hits < 1 THEN 'stopword' END,
+                       CASE WHEN lang_pred NOT IN ('en', 'de') THEN 'lang' END,
+                       CASE WHEN dup_frac > 0.2 THEN 'repetition' END,
+                       CASE WHEN pii_hits > 2 THEN 'pii' END) AS reasons,
+                   round((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
+                       + (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END)
+                       + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
+                       + (CASE WHEN stop_hits >= 1 THEN 0.25 ELSE 0.0 END)::DOUBLE, 2)::DOUBLE AS quality_score,
+                   lang_pred, dup_frac, pii_hits
+            FROM d2
+        )
+        SELECT doc_id::BIGINT AS doc_id, (reasons = '') AS keep, reasons,
+               quality_score, lang_pred, dup_frac, pii_hits::INT AS pii_hits
+        FROM d3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS_CTE.format(probes=_PROBES_SQL_VALUES)
     toks_prefix = _TOKS_CTE.format(probes=_PREFIX_PROBES_SQL_VALUES)
     out = _oracle_sql_dict(toks, toks_prefix)
+    out["curate_documents"] = _curate_documents_sql()
     # The Bloom-prefiltered decontamination is value-identical to the exact
     # operator BY CONSTRUCTION (the verify join removes false positives;
     # parity asserted in test_bloom_contamination_parity) — same oracle.

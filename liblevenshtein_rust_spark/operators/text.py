@@ -422,3 +422,117 @@ def unigram_perplexity(
         F.round(ce, 6).alias("cross_entropy"),
         F.round(F.exp(ce), 6).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# composite curation decision (the one-pass keep/drop gate)
+# ---------------------------------------------------------------------------
+
+
+def curate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    allowed_langs: tuple = ("en",),
+    max_dup_frac: float = 0.2,
+    max_pii: int = 5,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """The curation GATE: every per-document filter signal — C4/Gopher
+    quality band, language allowlist, duplicate-n-gram fraction, PII
+    density — evaluated in ONE codegen projection with an auditable
+    decision per document.
+
+    Output: (doc_id, keep boolean, reasons string, quality_score,
+    lang_pred, dup_frac, pii_hits).  ``reasons`` is the comma-joined list
+    of failed rules in fixed rule order ('' when kept) — production
+    pipelines keep the reason ledger so filter changes can be diffed
+    corpus-wide without re-reading text.
+
+    Scale: this is the operator that touches ALL 100 TB, so its shape is
+    the strictest in the repo — a single narrow projection fused into the
+    scan (zero shuffle, zero Python, zero joins; the individual signal
+    operators it composes are each themselves projection-only, so the
+    composite is too).  Filters that need corpus-level state (near-dup
+    clusters, contamination) run as separate blocked joins and AND their
+    verdicts downstream; this gate deliberately contains only the
+    row-local rules.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = F.split(F.trim(t), r"\s+")
+    n_tokens = whitespace_token_count(t)
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    mean_word_len = F.when(
+        n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens
+    ).otherwise(F.lit(0.0))
+    sw_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.transform(toks, F.lower), sw_arr))
+    quality_score = (
+        F.when((n_tokens >= min_tokens) & (n_tokens <= max_tokens), 0.25).otherwise(0.0)
+        + F.when((mean_word_len >= 2) & (mean_word_len <= 12), 0.25).otherwise(0.0)
+        + F.when(alpha_ratio >= 0.6, 0.25).otherwise(0.0)
+        + F.when(stop_hits >= 1, 0.25).otherwise(0.0)
+    )
+
+    # language argmax (same markers/tie-break as lang_id)
+    tl = F.transform(toks, F.lower)
+
+    def _marker_hits(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(tl, lambda x: F.array_contains(arr, x)))
+
+    hits = {lang: _marker_hits(m) for lang, m in LANG_MARKERS.items()}
+    best = None
+    for h in hits.values():
+        best = h if best is None else F.greatest(best, h)
+    lang_pred = F.lit("und")
+    for lang in reversed(list(hits)):
+        lang_pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(lang_pred)
+    lang_pred = F.when(best == 0, F.lit("und")).otherwise(lang_pred)
+
+    # duplicate-bigram fraction (same construction as repetition_stats n=2)
+    from .dedup import normalize_text
+
+    ntk = F.split(normalize_text(t), " ")
+    cnt = F.size(ntk)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - 1, F.lit(1)))
+    grams = F.when(cnt < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ntk, i, 2)))
+    )
+    dup_frac = F.when(
+        F.size(grams) > 0,
+        F.round(1.0 - F.size(F.array_distinct(grams)) / F.size(grams), 6),
+    ).otherwise(F.lit(0.0))
+
+    pii_hits = None
+    for _name, pat, _tag in PII_PATTERNS:
+        c = F.regexp_count(t, F.lit(pat))
+        pii_hits = c if pii_hits is None else pii_hits + c
+
+    lang_arr = F.array(*[F.lit(x) for x in allowed_langs])
+    # fixed rule order; concat_ws skips NULLs, so `reasons` is the ordered
+    # comma-joined failure list and '' means every rule passed
+    rules = [
+        ("length", (n_tokens < min_tokens) | (n_tokens > max_tokens)),
+        ("word_len", (mean_word_len < 2) | (mean_word_len > 12)),
+        ("alpha", alpha_ratio < 0.6),
+        ("stopword", stop_hits < 1),
+        ("lang", ~F.array_contains(lang_arr, lang_pred)),
+        ("repetition", dup_frac > max_dup_frac),
+        ("pii", pii_hits > max_pii),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return docs.select(
+        F.col(id_col),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+        F.round(quality_score, 2).alias("quality_score"),
+        lang_pred.alias("lang_pred"),
+        dup_frac.alias("dup_frac"),
+        pii_hits.cast("int").alias("pii_hits"),
+    )

@@ -514,3 +514,37 @@ def test_unigram_perplexity_flags_divergent_doc(spark):
     assert abs(out[3]["cross_entropy"] - round(math.log(n_total), 6)) < 1e-9
     assert out[3]["cross_entropy"] > out[1]["cross_entropy"]
     assert out[3]["cross_entropy"] > out[2]["cross_entropy"]
+
+
+# ---------------------------------------------------------------------------
+# composite curation gate
+# ---------------------------------------------------------------------------
+
+
+def test_curate_documents_rules_fire(spark):
+    """Each rule fires on a purpose-built document; a clean English doc
+    passes all seven; reasons are ordered and comma-joined."""
+    good = "the quick brown fox jumps over the lazy dog and it runs away"
+    rows = [
+        (1, good),
+        (2, "tiny doc now"),  # < 5 tokens -> length (plus stopword band misses)
+        (3, "le chat est dans la maison et il est pour une des"),  # fr -> lang
+        (4, good + " " + ("repeat token " * 30).strip()),  # repetition
+        (5, good + " a@b.com c@d.org e@f.net g@h.io i@j.co k@l.us"),  # pii > 5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in text.curate_documents(
+            docs, allowed_langs=("en",), max_pii=5
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["reasons"] == ""
+    assert not out[2]["keep"] and "length" in out[2]["reasons"].split(",")
+    # the English-stopword band legitimately also misses on a French doc
+    assert not out[3]["keep"] and "lang" in out[3]["reasons"].split(",")
+    assert not out[4]["keep"] and "repetition" in out[4]["reasons"].split(",")
+    assert not out[5]["keep"] and "pii" in out[5]["reasons"].split(",")
+    assert out[5]["pii_hits"] == 6
+    # reason order is the declared rule order
+    assert out[2]["reasons"].split(",")[0] == "length"
