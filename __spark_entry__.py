@@ -1247,6 +1247,24 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding dedup (operators/similarity.semantic_dedup):
+    md5-deterministic centroids → cell assignment (broadcast argmax, the
+    IVF machinery) → within-cell leader-rank drop at cos >= 0.42.  The
+    oracle replays centroid pick, assignment, rank, and the exists-earlier
+    pair rule verbatim — value-exact."""
+    from liblevenshtein_rust_spark.operators import similarity
+
+    emb = tables.embeddings(spark, sf_dir).where(F.col("vec_id") < 1000)
+    out = similarity.semantic_dedup(emb, n_cells=8, threshold=0.42)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.col("cell_rank").cast("int").alias("cell_rank"),
+        "keep",
+    )
+
+
 def q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass curation gate (operators/text.curate_documents): every
     row-local filter — quality band, language allowlist, duplicate-bigram
@@ -1409,6 +1427,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_overlap": q_contamination_overlap,
     "bloom_contamination": q_bloom_contamination,
     "curate_documents": q_curate_documents,
+    "semantic_dedup": q_semantic_dedup,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1739,6 +1758,41 @@ def oracle_sql() -> dict[str, str]:
     toks_prefix = _TOKS_CTE.format(probes=_PREFIX_PROBES_SQL_VALUES)
     out = _oracle_sql_dict(toks, toks_prefix)
     out["curate_documents"] = _curate_documents_sql()
+    out["semantic_dedup"] = """
+        WITH cents AS (
+            SELECT cell, centroid FROM (
+                SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
+                       embedding AS centroid
+                FROM embeddings WHERE vec_id < 1000
+            ) WHERE cell < 8
+        ),
+        assigned AS (
+            SELECT vec_id, cv, cell, cdist FROM (
+                SELECT e.vec_id, e.embedding AS cv, c.cell,
+                       list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) AS cdist,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                                    c.cell) AS r
+                FROM (SELECT * FROM embeddings WHERE vec_id < 1000) e, cents c
+            ) WHERE r = 1
+        ),
+        ranked AS (
+            SELECT vec_id, cv, cell,
+                   row_number() OVER (PARTITION BY cell
+                       ORDER BY cdist DESC, vec_id) AS cell_rank
+            FROM assigned
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM ranked a JOIN ranked b
+              ON a.cell = b.cell AND a.cell_rank < b.cell_rank
+            WHERE round(list_cosine_similarity(b.cv::DOUBLE[], a.cv::DOUBLE[]), 6) >= 0.42
+        )
+        SELECT r.vec_id::BIGINT AS vec_id, r.cell::INT AS cell,
+               r.cell_rank::INT AS cell_rank,
+               (d.vec_id IS NULL) AS keep
+        FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_id
+    """
     # The Bloom-prefiltered decontamination is value-identical to the exact
     # operator BY CONSTRUCTION (the verify join removes false positives;
     # parity asserted in test_bloom_contamination_parity) — same oracle.

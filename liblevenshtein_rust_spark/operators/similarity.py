@@ -127,3 +127,74 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    cid: str = "vec_id",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al. 2023):
+    cluster vectors into cells, then within each cell drop every vector
+    that is cosine-near a higher-ranked one.
+
+    Output: (vec_id, cell, cell_rank, keep).  Rank within a cell is
+    (cosine-to-own-centroid DESC, vec_id ASC) — most-central first,
+    deterministic.  A vector is dropped iff ANY higher-ranked vector in
+    its cell is within ``threshold`` (leader-rank rule: a conservative
+    superset of greedy-leader dedup — the dropping neighbor need not
+    itself have been kept; this makes the decision order-free, so it is
+    parallel/oracle-exact instead of sequentially greedy).
+
+    Scale (10^12 vectors): centroid assignment is a broadcast join (C
+    rows); the quadratic term is confined within cells — pick
+    ``n_cells ~ sqrt(N)/const`` so expected cell size bounds the per-cell
+    self-join, exactly SemDeDup's published cost model.  The self-join and
+    the rank window share ONE hash-partitioning on `cell`; cells are
+    near-balanced by construction (centroids are a uniform md5 sample of
+    the corpus itself), with the LSH bucket-cap policy as the skew
+    backstop for degenerate embedding mass.
+
+    Similarities are rounded to 6 decimals BEFORE thresholding (the
+    portability contract shared with `embedding_near_pairs`).
+    """
+    cents = _deterministic_centroids(corpus, cid, cvec, n_cells)
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    assign_w = Window.partitionBy("vec_id").orderBy(F.col("cdist").desc(), F.col("cell"))
+    assigned = (
+        c.join(F.broadcast(cents))
+        .select(
+            "vec_id", "cv", "cell",
+            cosine(F.col("cv"), F.col("centroid")).alias("cdist"),
+        )
+        .withColumn("_r", F.row_number().over(assign_w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "cv", "cell", "cdist")
+    )
+    rank_w = Window.partitionBy("cell").orderBy(F.col("cdist").desc(), F.col("vec_id"))
+    ranked = assigned.withColumn("cell_rank", F.row_number().over(rank_w)).select(
+        "vec_id", "cv", "cell", "cell_rank"
+    )
+    lead = ranked.select(
+        F.col("cell"),
+        F.col("cell_rank").alias("_lr"),
+        F.col("cv").alias("_lv"),
+    )
+    dropped = (
+        ranked.join(lead, "cell")
+        .where(F.col("_lr") < F.col("cell_rank"))
+        .where(F.round(cosine(F.col("cv"), F.col("_lv")), 6) >= threshold)
+        .select("vec_id")
+        .distinct()
+    )
+    return (
+        ranked.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cell_rank",
+            F.coalesce(~F.col("_d"), F.lit(True)).alias("keep"),
+        )
+    )

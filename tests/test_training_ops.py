@@ -548,3 +548,28 @@ def test_curate_documents_rules_fire(spark):
     assert out[5]["pii_hits"] == 6
     # reason order is the declared rule order
     assert out[2]["reasons"].split(",")[0] == "length"
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Three identical vectors collapse to one kept survivor (the
+    best-ranked); orthogonal vectors all survive."""
+    import math
+
+    from liblevenshtein_rust_spark.operators import similarity
+
+    dim = 8
+    def unit(i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+    rows = [(i, unit(i % dim)) for i in range(3)]          # 3 copies of e0... no:
+    rows = [(0, unit(0)), (1, unit(0)), (2, unit(0))]       # identical trio
+    rows += [(10 + i, unit(1 + i)) for i in range(5)]       # 5 orthogonal singles
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(emb, n_cells=1, threshold=0.99)
+    got = {r["vec_id"]: r for r in out.collect()}
+    trio_kept = [i for i in (0, 1, 2) if got[i]["keep"]]
+    assert len(trio_kept) == 1  # exactly one survivor of the identical trio
+    assert all(got[10 + i]["keep"] for i in range(5))
+    # every vector appears exactly once with a rank inside its cell
+    assert len(got) == 8
