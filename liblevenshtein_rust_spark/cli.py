@@ -166,6 +166,31 @@ def cmd_er(spark, args) -> None:
     print(json.dumps({"docs": entities.count(), "entities": n, "run_dir": args.run_dir}))
 
 
+def cmd_curate(spark, args) -> None:
+    from .pipeline import curation
+
+    docs = spark.read.parquet(args.docs)
+    eval_docs = spark.read.parquet(args.eval_docs) if args.eval_docs else None
+    cfg = curation.CurationConfig(
+        allowed_langs=tuple(args.lang),
+        max_dup_frac=args.max_dup_frac,
+        max_pii=args.max_pii,
+        line_min_docs=args.line_min_docs,
+        segment_lines=args.segment_lines,
+        near_dup_threshold=args.near_dup_threshold,
+        decontam_min_shared=args.decontam_min_shared,
+    )
+    corpus = curation.run_curation(spark, docs, eval_docs, args.run_dir, cfg)
+    if args.output:
+        corpus.write.mode("overwrite").parquet(args.output)
+    rs = curation.Runstate(spark, args.run_dir, curation.asdict(cfg))
+    stages = {
+        s: {"rows": m["rows"], "wall_s": m["wall_s"]}
+        for s, m in rs.manifests().items()
+    }
+    print(json.dumps({"run_dir": args.run_dir, "stages": stages}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="liblevenshtein-spark")
     p.add_argument("--cores", type=int, default=None)
@@ -223,6 +248,19 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--max-distance", type=int, default=2)
     e.add_argument("--max-df", type=int, default=50)
     e.add_argument("--min-token-matches", type=int, default=2)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--docs", required=True)
+    cu.add_argument("--run-dir", required=True)
+    cu.add_argument("--eval-docs", default=None)
+    cu.add_argument("--output", default=None)
+    cu.add_argument("--lang", action="append", default=["en"])
+    cu.add_argument("--max-dup-frac", type=float, default=0.2)
+    cu.add_argument("--max-pii", type=int, default=5)
+    cu.add_argument("--line-min-docs", type=int, default=5)
+    cu.add_argument("--segment-lines", action="store_true")
+    cu.add_argument("--near-dup-threshold", type=float, default=0.5)
+    cu.add_argument("--decontam-min-shared", type=int, default=2)
     return p
 
 
@@ -235,6 +273,7 @@ COMMANDS = {
     "clear": cmd_clear,
     "minimize": cmd_minimize,
     "er": cmd_er,
+    "curate": cmd_curate,
 }
 
 

@@ -206,3 +206,30 @@ def test_streaming_incremental_ingest(spark, tmp_path):
     assert sorted((r["term"], r["key"]) for r in nk.collect()) == sorted(
         (r["term"], r["key"]) for r in rebuilt.collect()
     )
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    """The curate verb runs the checkpointed pipeline end-to-end and prints
+    the per-stage ledger; distinct docs all survive a high near-dup bar."""
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        (i, f"the quick brown fox jumps over dog {i} plus distinct words "
+            f"{'alpha beta' if i % 2 else 'gamma delta'} {i * 17} {i * 31}")
+        for i in range(6)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    out = str(tmp_path / "corpus.parquet")
+    cli.COMMANDS["curate"](
+        spark,
+        cli.build_parser().parse_args(
+            [
+                "curate", "--docs", src, "--run-dir", str(tmp_path / "run"),
+                "--output", out, "--segment-lines", "--line-min-docs", "7",
+                "--near-dup-threshold", "0.95",
+            ]
+        ),
+    )
+    ledger = json.loads(capsys.readouterr().out)
+    assert set(ledger["stages"]) == {"docs", "gate", "lines", "near_dup", "corpus"}
+    assert ledger["stages"]["docs"]["rows"] == 6
+    assert spark.read.parquet(out).count() == ledger["stages"]["corpus"]["rows"] == 6
