@@ -438,6 +438,7 @@ def curate_documents(
     max_pii: int = 5,
     min_tokens: int = 5,
     max_tokens: int = 100_000,
+    full_rows: bool = False,
 ) -> DataFrame:
     """The curation GATE: every per-document filter signal — C4/Gopher
     quality band, language allowlist, duplicate-n-gram fraction, PII
@@ -527,8 +528,13 @@ def curate_documents(
     reasons = F.concat_ws(
         ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
     )
+    # full_rows appends the verdict to the input row instead of projecting
+    # it out — the STREAMING form (a stream can't re-join its own verdict
+    # table, and since every rule is row-local the gate stays a stateless
+    # projection either way)
+    lead_cols = [F.col("*")] if full_rows else [F.col(id_col)]
     return docs.select(
-        F.col(id_col),
+        *lead_cols,
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
         F.round(quality_score, 2).alias("quality_score"),

@@ -113,20 +113,20 @@ def _run_stages(
     )
 
     def build_gate() -> DataFrame:
-        verdicts = text.curate_documents(
-            docs_ck,
-            allowed_langs=cfg.allowed_langs,
-            max_dup_frac=cfg.max_dup_frac,
-            max_pii=cfg.max_pii,
-            min_tokens=cfg.min_tokens,
-            max_tokens=cfg.max_tokens,
-        ).select("doc_id", "keep", "reasons")
-        # doc_id equi-join back to the full rows: the verdict projection and
-        # the source rows come from the same checkpointed scan, so AQE plans
-        # this as a broadcast or co-partitioned join — never a wide shuffle
-        # of text against text
-        return docs_ck.join(verdicts, "doc_id").where(F.col("keep")).select(
-            *keep_cols, "reasons"
+        # full_rows appends the verdict to each row in the SAME projection,
+        # so the gate stage is one filtered scan — no verdict re-join
+        return (
+            text.curate_documents(
+                docs_ck,
+                allowed_langs=cfg.allowed_langs,
+                max_dup_frac=cfg.max_dup_frac,
+                max_pii=cfg.max_pii,
+                min_tokens=cfg.min_tokens,
+                max_tokens=cfg.max_tokens,
+                full_rows=True,
+            )
+            .where(F.col("keep"))
+            .select(*keep_cols, "reasons")
         )
 
     gate = rs.stage(
