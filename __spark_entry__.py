@@ -1247,6 +1247,25 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card (text.corpus_stats): gate signals
+    aggregated in one scan + one low-cardinality groupBy.  The oracle
+    replays the full gate verdict (shared builder with curate_documents —
+    raw text, default thresholds) and the same aggregates."""
+    from liblevenshtein_rust_spark.operators import text
+
+    docs = tables.documents(spark, sf_dir).select("doc_id", "text", "source")
+    out = text.corpus_stats(docs)
+    return out.select(
+        "grp",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "avg_quality",
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style embedding dedup (operators/similarity.semantic_dedup):
     md5-deterministic centroids → cell assignment (broadcast argmax, the
@@ -1428,6 +1447,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_contamination": q_bloom_contamination,
     "curate_documents": q_curate_documents,
     "semantic_dedup": q_semantic_dedup,
+    "corpus_stats": q_corpus_stats,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1668,9 +1688,18 @@ def _pii_redaction_sql() -> str:
     return sql
 
 
-def _curate_documents_sql() -> str:
+def _curate_documents_sql(
+    src_sql: str | None = None,
+    allowed_langs: str = "'en', 'de'",
+    max_pii: int = 2,
+) -> str:
     """DuckDB twin of q_curate_documents, generated from the operator's own
-    PII_PATTERNS / LANG_MARKERS / stopword list so no rule can drift."""
+    PII_PATTERNS / LANG_MARKERS / stopword list so no rule can drift.
+
+    ``src_sql`` overrides the planted-text source CTE body — pass a
+    ``SELECT doc_id, <expr> AS t FROM documents`` to replay the gate over
+    different text (corpus_stats uses the raw column); default = the
+    planted PII + repetition corpus of q_curate_documents."""
     from liblevenshtein_rust_spark.operators.text import LANG_MARKERS, PII_PATTERNS
 
     pii_terms = " + ".join(
@@ -1688,8 +1717,8 @@ def _curate_documents_sql() -> str:
     for lang in langs[:-1]:
         pick += f"                        WHEN {lang}_h = {best} THEN '{lang}'\n"
     pick += f"                        ELSE '{langs[-1]}' END AS lang_pred"
-    return f"""
-        WITH src AS (
+    if src_sql is None:
+        src_sql = """
             SELECT doc_id,
                    text
                    || CASE WHEN doc_id % 7 = 0
@@ -1698,7 +1727,9 @@ def _curate_documents_sql() -> str:
                    || CASE WHEN doc_id % 11 = 0
                            THEN repeat(' repeat token', 20) ELSE '' END AS t
             FROM documents
-        ),
+        """
+    return f"""
+        WITH src AS ({src_sql}),
         feats AS (
             SELECT doc_id, t,
                    length(t) AS n_chars,
@@ -1737,9 +1768,9 @@ def _curate_documents_sql() -> str:
                        CASE WHEN mean_word_len < 2 OR mean_word_len > 12 THEN 'word_len' END,
                        CASE WHEN alpha_ratio < 0.6 THEN 'alpha' END,
                        CASE WHEN stop_hits < 1 THEN 'stopword' END,
-                       CASE WHEN lang_pred NOT IN ('en', 'de') THEN 'lang' END,
+                       CASE WHEN lang_pred NOT IN ({allowed_langs}) THEN 'lang' END,
                        CASE WHEN dup_frac > 0.2 THEN 'repetition' END,
-                       CASE WHEN pii_hits > 2 THEN 'pii' END) AS reasons,
+                       CASE WHEN pii_hits > {max_pii} THEN 'pii' END) AS reasons,
                    round((CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 THEN 0.25 ELSE 0.0 END)
                        + (CASE WHEN mean_word_len >= 2 AND mean_word_len <= 12 THEN 0.25 ELSE 0.0 END)
                        + (CASE WHEN alpha_ratio >= 0.6 THEN 0.25 ELSE 0.0 END)
@@ -1758,6 +1789,23 @@ def oracle_sql() -> dict[str, str]:
     toks_prefix = _TOKS_CTE.format(probes=_PREFIX_PROBES_SQL_VALUES)
     out = _oracle_sql_dict(toks, toks_prefix)
     out["curate_documents"] = _curate_documents_sql()
+    verdict = _curate_documents_sql(
+        src_sql="SELECT doc_id, text AS t FROM documents",
+        allowed_langs="'en'",
+        max_pii=5,
+    )
+    out["corpus_stats"] = f"""
+        SELECT d.source AS grp,
+               count(*)::BIGINT AS n_docs,
+               sum(CASE WHEN length(trim(d.text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                   END)::BIGINT AS n_tokens,
+               sum(CASE WHEN v.keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               round(avg(v.quality_score), 6) AS avg_quality,
+               count(DISTINCT v.lang_pred)::BIGINT AS n_langs
+        FROM documents d JOIN ({verdict}) v USING (doc_id)
+        GROUP BY d.source
+    """
     out["semantic_dedup"] = """
         WITH cents AS (
             SELECT cell, centroid FROM (

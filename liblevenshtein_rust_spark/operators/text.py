@@ -542,3 +542,36 @@ def curate_documents(
         dup_frac.alias("dup_frac"),
         pii_hits.cast("int").alias("pii_hits"),
     )
+
+
+def corpus_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    **gate_kwargs,
+) -> DataFrame:
+    """Corpus report card: per-``group_col`` audit aggregates of the
+    curation gate's signals — the summary a pipeline run emits so corpus
+    composition and filter impact can be tracked release-over-release
+    without re-reading text.
+
+    Output per group: (group, n_docs, n_tokens, n_kept, avg_quality,
+    n_langs).  ``avg_quality`` is exact across engines: every
+    quality_score is a multiple of 0.25 (exactly representable), so the
+    double sum is order-independent.
+
+    Scale: the gate projection fused into the scan + ONE groupBy on the
+    (low-cardinality) group key — the same two-exchange shape as any
+    partial-aggregated rollup; no join, no second scan.
+    """
+    v = curate_documents(
+        docs, text_col=text_col, id_col=id_col, full_rows=True, **gate_kwargs
+    )
+    return v.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(whitespace_token_count(F.col(text_col)).cast("long")).alias("n_tokens"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.countDistinct("lang_pred").alias("n_langs"),
+    )
