@@ -1247,6 +1247,19 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 vs exact brute force over the same 8 probes the ANN
+    queries use — one metric row; the oracle replays BOTH rankings (the
+    two already-green ann_topk CTE bodies) and the same intersection."""
+    from liblevenshtein_rust_spark.operators import similarity
+
+    emb = tables.embeddings(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ann_recall(probes, emb, k=5, n_cells=16, nprobe=4)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card (text.corpus_stats): gate signals
     aggregated in one scan + one low-cardinality groupBy.  The oracle
@@ -1448,6 +1461,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_documents": q_curate_documents,
     "semantic_dedup": q_semantic_dedup,
     "corpus_stats": q_corpus_stats,
+    "ann_recall": q_ann_recall,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1789,6 +1803,20 @@ def oracle_sql() -> dict[str, str]:
     toks_prefix = _TOKS_CTE.format(probes=_PREFIX_PROBES_SQL_VALUES)
     out = _oracle_sql_dict(toks, toks_prefix)
     out["curate_documents"] = _curate_documents_sql()
+    # recall gate = intersection of the two already-verified ANN rankings;
+    # composing their oracle SQL verbatim guarantees the three queries can
+    # never drift apart
+    out["ann_recall"] = f"""
+        WITH exact AS (SELECT query_id, vec_id FROM ({out["ann_topk_bruteforce"]})),
+             ivf AS (SELECT query_id, vec_id FROM ({out["ann_topk_ivf"]}))
+        SELECT count(DISTINCT e.query_id)::BIGINT AS n_queries,
+               count(*)::BIGINT AS n_exact,
+               sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+               round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS recall_at_k
+        FROM exact e LEFT JOIN ivf i
+          ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    """
     verdict = _curate_documents_sql(
         src_sql="SELECT doc_id, text AS t FROM documents",
         allowed_langs="'en'",

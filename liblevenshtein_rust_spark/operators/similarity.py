@@ -198,3 +198,46 @@ def semantic_dedup(
             F.coalesce(~F.col("_d"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def ann_recall(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    qid: str = "query_id",
+    qvec: str = "query_vec",
+    cid: str = "vec_id",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force — the ANN
+    family's quality gate, the similarity-search analog of
+    `blocking.blocking_quality` (and of the reference's corpus recall
+    gates, ``tests/corpus_validation.rs:22-28``): an approximate index you
+    haven't measured is an index you can't ship.
+
+    Output: ONE row (n_queries, n_exact, n_found, recall_at_k) where
+    recall = |IVF∩exact| / |exact| over (query, neighbor) pairs.  Both
+    sides use the deterministic (cos DESC, vec_id) ranking, so recall is
+    exact and reproducible, not estimator noise.
+
+    Scale: brute force is O(Q·N) — this gate runs on a SAMPLE of probes
+    (Q small by construction), which is also how production measures ANN
+    recall at 10^12 vectors; the IVF side reuses the index's own plan.
+    """
+    exact = brute_force_topk(queries, corpus, k, qid, qvec, cid, cvec).select(
+        "query_id", "vec_id"
+    )
+    approx = ivf_topk(
+        queries, corpus, k, n_cells, nprobe, qid, qvec, cid, cvec
+    ).select("query_id", "vec_id", F.lit(1).alias("_hit"))
+    joined = exact.join(approx, ["query_id", "vec_id"], "left")
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_found"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
+        ).alias("recall_at_k"),
+    )
