@@ -1247,6 +1247,27 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the int8-quantized embedding corpus
+    (similarity.quantize_embeddings / quantized_topk): integer dot
+    products, scales cancel in cosine; the oracle replays the
+    quantization and the integer scoring — value-exact because every
+    intermediate (|q|<=127, dim 64) is exactly representable."""
+    from liblevenshtein_rust_spark.operators import similarity
+
+    emb = tables.embeddings(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.quantized_topk(probes, emb, k=5)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "qcos",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall@5 vs exact brute force over the same 8 probes the ANN
     queries use — one metric row; the oracle replays BOTH rankings (the
@@ -1462,6 +1483,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup": q_semantic_dedup,
     "corpus_stats": q_corpus_stats,
     "ann_recall": q_ann_recall,
+    "quantized_topk": q_quantized_topk,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1816,6 +1838,41 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 6) AS recall_at_k
         FROM exact e LEFT JOIN ivf i
           ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    """
+    out["quantized_topk"] = """
+        WITH base AS (
+            SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings
+        ),
+        qt AS (
+            SELECT vec_id,
+                   CASE WHEN s > 0 THEN list_transform(v, x -> round(x / s)::INT)
+                        ELSE list_transform(v, x -> 0) END AS q
+            FROM (
+                SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+                FROM base
+            )
+        ),
+        probes AS (SELECT vec_id AS query_id, q AS qa FROM qt WHERE vec_id < 8),
+        scored AS (
+            SELECT p.query_id, c.vec_id,
+                   round(CASE WHEN list_dot_product(p.qa, p.qa) > 0
+                               AND list_dot_product(c.q, c.q) > 0
+                         THEN list_dot_product(p.qa, c.q)
+                              / (sqrt(list_dot_product(p.qa, p.qa))
+                                 * sqrt(list_dot_product(c.q, c.q)))
+                         ELSE 0.0 END, 6) AS qcos
+            FROM probes p, qt c
+        )
+        SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+               qcos, rank::INT AS rank
+        FROM (
+            SELECT query_id, vec_id, qcos,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY qcos DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
     """
     verdict = _curate_documents_sql(
         src_sql="SELECT doc_id, text AS t FROM documents",

@@ -573,3 +573,27 @@ def test_semantic_dedup_planted_duplicates(spark):
     assert all(got[10 + i]["keep"] for i in range(5))
     # every vector appears exactly once with a rank inside its cell
     assert len(got) == 8
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    """Dequantized values are within scale/2 of the originals; all-zero
+    vectors quantize to zeros with scale 0; qvec stays in [-127, 127]."""
+    from liblevenshtein_rust_spark.operators import similarity
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.125]),
+        (2, [100.0, -50.0, 0.0, 1.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in similarity.quantize_embeddings(emb).collect()}
+    for vid, vec in rows:
+        q, s = got[vid]["qvec"], got[vid]["scale"]
+        assert all(-127 <= x <= 127 for x in q)
+        if all(v == 0 for v in vec):
+            assert s == 0 and all(x == 0 for x in q)
+            continue
+        s_true = max(abs(v) for v in vec) / 127.0
+        assert abs(s - s_true) < 1e-9  # output scale = rounded display copy
+        for orig, qi in zip(vec, q):
+            assert abs(qi * s_true - orig) <= s_true / 2 + 1e-9
