@@ -1247,6 +1247,20 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-2 self-LM scoring (text.bigram_perplexity): cross-entropy
+    avg[ln c_prefix(u) - ln c(u,v)] under the corpus's own bigram model;
+    closed form (self-training => no smoothing), oracle replays it."""
+    from liblevenshtein_rust_spark.operators import text
+
+    return text.bigram_perplexity(tables.documents(spark, sf_dir)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_bigrams",
+        "cross_entropy",
+        "perplexity",
+    )
+
+
 def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over the int8-quantized embedding corpus
     (similarity.quantize_embeddings / quantized_topk): integer dot
@@ -1484,6 +1498,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_stats": q_corpus_stats,
     "ann_recall": q_ann_recall,
     "quantized_topk": q_quantized_topk,
+    "bigram_perplexity": q_bigram_perplexity,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1838,6 +1853,40 @@ def oracle_sql() -> dict[str, str]:
                      / count(*), 6) AS recall_at_k
         FROM exact e LEFT JOIN ivf i
           ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    """
+    out["bigram_perplexity"] = """
+        WITH tk AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(trim(regexp_replace(
+                       lower(text), '[^a-z0-9 ]+', ' ', 'g')),
+                       '\\s+', ' ', 'g'), ' ') AS tk
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, unnest(grams) AS g
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+                            ELSE [array_to_string(tk[i:i+1], ' ')
+                                  FOR i IN generate_series(1, len(tk) - 1)]
+                       END AS grams
+                FROM tk
+            )
+        ),
+        gc AS (SELECT g, count(*) AS c_bg FROM g GROUP BY g),
+        pc AS (SELECT split_part(g, ' ', 1) AS u, sum(c_bg) AS c_u
+               FROM gc GROUP BY split_part(g, ' ', 1)),
+        per AS (
+            SELECT doc_id, count(*)::INT AS n_bigrams,
+                   avg(ln(c_u) - ln(c_bg)) AS ce
+            FROM g JOIN gc USING (g)
+                   JOIN pc ON split_part(g.g, ' ', 1) = pc.u
+            GROUP BY doc_id
+        )
+        SELECT doc_id::BIGINT AS doc_id, n_bigrams,
+               round(ce, 6) AS cross_entropy,
+               round(exp(ce), 6) AS perplexity
+        FROM per
     """
     out["quantized_topk"] = """
         WITH base AS (

@@ -424,6 +424,68 @@ def unigram_perplexity(
     )
 
 
+def bigram_perplexity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's OWN bigram model —
+    the order-2 companion of :func:`unigram_perplexity` (CCNet buckets on
+    an order-5 model; unigram + bigram bracket the family with scores that
+    stay exactly SQL-replayable).
+
+    Self-training keeps it closed-form, no smoothing:
+
+        cross_entropy(d) = avg_{(u,v) in d} [ ln c_prefix(u) − ln c(u,v) ]
+
+    with c(u,v) = corpus bigram count and c_prefix(u) = Σ_v c(u,v) (u's
+    count as a bigram prefix).  Every bigram of d appears in the corpus
+    (it came from there), so c ≥ 1 everywhere.  Docs with < 2 tokens have
+    no bigrams and are not emitted (same contract as the unigram op for
+    empty docs).
+
+    Output: (doc_id, n_bigrams, cross_entropy, perplexity), rounded to 6
+    (cross-partition summation-order noise, as in unigram_perplexity).
+
+    Scale: two count aggregates (bigram model + its prefix marginal — the
+    marginal reuses the bigram table, not the corpus), one scoring join,
+    one per-doc aggregate; exchange rows after tokenization carry
+    (id, 8-byte double) only.  The bigram vocabulary grows faster than
+    Heaps (~N^0.8 empirically) — no broadcast hint, AQE decides.
+    """
+    from liblevenshtein_rust_spark.operators.dedup import let_bound, normalize_text
+
+    tk = F.split(normalize_text(F.col(text_col)), " ")
+
+    def build(t):
+        cnt = F.size(t)
+        idx = F.sequence(F.lit(1), F.greatest(cnt - 1, F.lit(1)))
+        return F.when(cnt < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, 2)))
+        )
+
+    grams = docs.select(
+        F.col(id_col), F.explode(let_bound(tk, build)).alias("g")
+    )
+    g_counts = grams.groupBy("g").agg(F.count("*").alias("c_bg"))
+    p_counts = g_counts.groupBy(
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("u")
+    ).agg(F.sum("c_bg").alias("c_u"))
+    scored = (
+        grams.join(g_counts, "g")
+        .withColumn("u", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+        .join(p_counts, "u")
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        F.avg(F.log("c_u") - F.log("c_bg")).alias("_ce"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("_ce"), 6).alias("cross_entropy"),
+        F.round(F.exp("_ce"), 6).alias("perplexity"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # composite curation decision (the one-pass keep/drop gate)
 # ---------------------------------------------------------------------------
