@@ -1247,6 +1247,22 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling for corpus mixing: keep probability = 0.9 x
+    quality_score (sampling.quality_weighted_sample over the gate's
+    full-row verdict).  Numeric hash-prefix compare with an exactly-
+    representable per-row threshold — the oracle replays membership
+    bit-for-bit."""
+    from liblevenshtein_rust_spark.operators import sampling, text
+
+    docs = tables.documents(spark, sf_dir).select("doc_id", "text")
+    scored = text.curate_documents(docs, full_rows=True)
+    out = sampling.quality_weighted_sample(scored, "quality_score", base_rate=0.9)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "quality_score"
+    )
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-2 self-LM scoring (text.bigram_perplexity): cross-entropy
     avg[ln c_prefix(u) - ln c(u,v)] under the corpus's own bigram model;
@@ -1499,6 +1515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_recall": q_ann_recall,
     "quantized_topk": q_quantized_topk,
     "bigram_perplexity": q_bigram_perplexity,
+    "quality_weighted_sample": q_quality_weighted_sample,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1928,6 +1945,12 @@ def oracle_sql() -> dict[str, str]:
         allowed_langs="'en'",
         max_pii=5,
     )
+    out["quality_weighted_sample"] = f"""
+        SELECT doc_id::BIGINT AS doc_id, quality_score
+        FROM ({verdict}) v
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              < 0.9 * 4294967296 * quality_score
+    """
     out["corpus_stats"] = f"""
         SELECT d.source AS grp,
                count(*)::BIGINT AS n_docs,

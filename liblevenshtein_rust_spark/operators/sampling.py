@@ -181,3 +181,34 @@ def sample_rates_sql(
         f"substr(md5({id_col}::VARCHAR), 1, 8) < "
         f"(CASE {strata_col} {branches}ELSE '{rate_threshold_hex(default_rate)}' END)"
     )
+
+
+_HASH_SPACE = float(2**32)
+
+
+def score_weighted_keep(id_col, score_col, base_rate: float = 1.0):
+    """Boolean column: deterministic Bernoulli whose keep probability is
+    ``base_rate * score`` — importance sampling for corpus mixing (keep
+    high-quality documents with proportionally higher probability instead
+    of a hard threshold, the soft variant of the curation gate).
+
+    The hash prefix is compared NUMERICALLY (not lexicographically): the
+    per-row threshold is a computed column, and `base_rate * 2^32` times a
+    0.25-multiple score is exactly representable in double on both
+    engines, so membership is bit-deterministic — rerun-, resume- and
+    partitioning-stable like every sampler in this module.
+    """
+    h = F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+    return h < F.lit(float(base_rate) * _HASH_SPACE) * score_col
+
+
+def quality_weighted_sample(
+    docs: DataFrame,
+    score_col: str,
+    base_rate: float = 1.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows kept with probability ``base_rate * docs[score_col]`` (score in
+    [0, 1]); zero-score rows never survive, full-score rows behave like a
+    plain Bernoulli(base_rate).  Pure projection — zero shuffle."""
+    return docs.where(score_weighted_keep(F.col(id_col), F.col(score_col), base_rate))
