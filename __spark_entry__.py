@@ -1247,6 +1247,55 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table record linkage (pipeline/linkage.link_tables): originals
+    (A) matched to their planted near-copies (B) through rare-token
+    deletion-key blocking + kernel scoring + deterministic best-match.
+    max_distance=1 so the oracle's damerau_levenshtein agrees exactly with
+    the OSA kernel (they differ only at d >= 2); deletion blocking is
+    exact at d<=1, so the oracle replays an UNBLOCKED vocab cross join and
+    value-equality proves the blocked path lossless.
+
+    The documents table's word pool is deliberately tiny (every token is
+    stopword-grade under the rare filter), so each side gets three
+    md5-derived 8-hex entity tokens per record — globally rare, exactly
+    reproducible in SQL — and the B twin carries a 1-char deletion typo in
+    its first token: the canonical dirty-master-table shape."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 2000
+    )
+
+    def ent(tag):
+        return F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, 8
+        )
+
+    a = base.select(
+        "doc_id",
+        F.concat_ws(" ", ent("a"), ent("b"), ent("c")).alias("text"),
+    )
+    b = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            # drop the 4th char of the first entity token: distance 1
+            F.concat(F.substring(ent("a"), 1, 3), F.substring(ent("a"), 5, 4)),
+            ent("b"),
+            ent("c"),
+        ).alias("text"),
+    )
+    out = linkage.link_tables(a, b, linkage.LinkConfig(max_distance=1))
+    return out.select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance sampling for corpus mixing: keep probability = 0.9 x
     quality_score (sampling.quality_weighted_sample over the gate's
@@ -1516,6 +1565,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_topk": q_quantized_topk,
     "bigram_perplexity": q_bigram_perplexity,
     "quality_weighted_sample": q_quality_weighted_sample,
+    "link_tables": q_link_tables,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -1945,6 +1995,63 @@ def oracle_sql() -> dict[str, str]:
         allowed_langs="'en'",
         max_pii=5,
     )
+    out["link_tables"] = """
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+        a_docs AS (
+            SELECT doc_id,
+                   substr(md5(doc_id::VARCHAR || 'a'), 1, 8) AS e1,
+                   substr(md5(doc_id::VARCHAR || 'b'), 1, 8) AS e2,
+                   substr(md5(doc_id::VARCHAR || 'c'), 1, 8) AS e3
+            FROM ids
+        ),
+        b_docs AS (
+            SELECT doc_id + 100000 AS doc_id,
+                   substr(e1, 1, 3) || substr(e1, 5, 4) AS e1, e2, e3
+            FROM a_docs
+        ),
+        ta0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([e1, e2, e3]) AS token FROM a_docs)
+        ),
+        tb0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([e1, e2, e3]) AS token FROM b_docs)
+        ),
+        ra AS (SELECT * FROM ta0 WHERE token IN (
+            SELECT token FROM ta0 GROUP BY token HAVING count(*) <= 50)),
+        rb AS (SELECT * FROM tb0 WHERE token IN (
+            SELECT token FROM tb0 GROUP BY token HAVING count(*) <= 50)),
+        tm AS (
+            SELECT tok_a, tok_b,
+                   damerau_levenshtein(tok_a, tok_b) AS d
+            FROM (SELECT DISTINCT token AS tok_a FROM ra),
+                 (SELECT DISTINCT token AS tok_b FROM rb)
+            WHERE abs(length(tok_a) - length(tok_b)) <= 1
+              AND damerau_levenshtein(tok_a, tok_b) <= 1
+        ),
+        ev AS (
+            SELECT ra.doc_id AS a_id, rb.doc_id AS b_id, tm.tok_a, tm.tok_b,
+                   1.0 - tm.d::DOUBLE
+                       / greatest(length(tm.tok_a), length(tm.tok_b)) AS w
+            FROM ra JOIN tm ON ra.token = tm.tok_a
+                    JOIN rb ON rb.token = tm.tok_b
+        ),
+        agg AS (
+            SELECT a_id, b_id,
+                   count(DISTINCT (tok_a, tok_b))::BIGINT AS n_matched,
+                   round(sum(w), 6) AS score
+            FROM ev GROUP BY a_id, b_id
+            HAVING count(DISTINCT (tok_a, tok_b)) >= 2
+        )
+        SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, n_matched, score,
+               rank::INT AS rank
+        FROM (
+            SELECT a_id, b_id, n_matched, score,
+                   row_number() OVER (PARTITION BY a_id
+                       ORDER BY score DESC, n_matched DESC, b_id) AS rank
+            FROM agg
+        ) WHERE rank = 1
+    """
     out["quality_weighted_sample"] = f"""
         SELECT doc_id::BIGINT AS doc_id, quality_score
         FROM ({verdict}) v

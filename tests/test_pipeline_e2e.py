@@ -142,3 +142,36 @@ def test_manifest_lineage_and_metrics(spark, docs, run):
         assert m["wall_s"] >= 0
     assert "kernel_pairs" in ms["token_matches"]["metrics"]
     assert "hot_keys_dropped" in ms["token_matches"]["metrics"]
+
+
+def test_link_tables_cross_corpus(spark):
+    """Cross-table linkage: typo'd B twins are found as best matches with
+    fuzzy token evidence; unrelated records stay unlinked."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    a = spark.createDataFrame(
+        [
+            (1, "jonathan smithers acme corporation boulevard headquarters"),
+            (2, "margaret chalmers globex incorporated riverside campus"),
+            (3, "totally unrelated record about gardening tomatoes"),
+        ],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [
+            (101, "jonathon smithers acme corporatian boulevard building"),
+            (102, "margret chalmers globex incorporated riverside offices"),
+            (103, "another unrelated supplier of machinery parts"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["a_id"]: r
+        for r in linkage.link_tables(
+            a, b, linkage.LinkConfig(min_token_matches=2)
+        ).collect()
+    }
+    assert set(got) == {1, 2}  # the unrelated record links to nothing
+    assert got[1]["b_id"] == 101 and got[1]["n_matched"] >= 4
+    assert got[2]["b_id"] == 102 and got[2]["n_matched"] >= 4
+    assert all(r["rank"] == 1 for r in got.values())
