@@ -1296,6 +1296,52 @@ def q_link_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_tables_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage with the phonetic evidence channel ON: B's first entity
+    token carries appended vowels ('aaa') — beyond edit distance 1 (the
+    length prefilter alone rejects it) but skeleton-code-EQUAL (non-leading
+    vowels strip; a trailing 'a' run squeezes), so the pair arrives only
+    through the phonetic channel at weight 0.5.  The oracle replays both
+    channels (DL<=1 cross join UNION code-equal anti-join) with the rule
+    chain inlined via phonetic_rules_sql — the two-channel union is
+    value-exact."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 2000
+    )
+
+    def ent(tag):
+        return F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, 8
+        )
+
+    a = base.select(
+        "doc_id",
+        F.concat_ws(" ", ent("a"), ent("b"), ent("c")).alias("text"),
+    )
+    b = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.concat(ent("a"), F.lit("aaa")), ent("b"), ent("c")
+        ).alias("text"),
+    )
+    out = linkage.link_tables(
+        a,
+        b,
+        linkage.LinkConfig(
+            max_distance=1, use_phonetic=True, phonetic_ruleset="skeleton"
+        ),
+    )
+    return out.select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance sampling for corpus mixing: keep probability = 0.9 x
     quality_score (sampling.quality_weighted_sample over the gate's
@@ -1566,6 +1612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_perplexity": q_bigram_perplexity,
     "quality_weighted_sample": q_quality_weighted_sample,
     "link_tables": q_link_tables,
+    "link_tables_phonetic": q_link_tables_phonetic,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -2033,6 +2080,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT ra.doc_id AS a_id, rb.doc_id AS b_id, tm.tok_a, tm.tok_b,
                    1.0 - tm.d::DOUBLE
                        / greatest(length(tm.tok_a), length(tm.tok_b)) AS w
+            FROM ra JOIN tm ON ra.token = tm.tok_a
+                    JOIN rb ON rb.token = tm.tok_b
+        ),
+        agg AS (
+            SELECT a_id, b_id,
+                   count(DISTINCT (tok_a, tok_b))::BIGINT AS n_matched,
+                   round(sum(w), 6) AS score
+            FROM ev GROUP BY a_id, b_id
+            HAVING count(DISTINCT (tok_a, tok_b)) >= 2
+        )
+        SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, n_matched, score,
+               rank::INT AS rank
+        FROM (
+            SELECT a_id, b_id, n_matched, score,
+                   row_number() OVER (PARTITION BY a_id
+                       ORDER BY score DESC, n_matched DESC, b_id) AS rank
+            FROM agg
+        ) WHERE rank = 1
+    """
+    code_a = _phonetic_rules_sql("tok_a", "skeleton")
+    code_b = _phonetic_rules_sql("tok_b", "skeleton")
+    out["link_tables_phonetic"] = f"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+        a_docs AS (
+            SELECT doc_id,
+                   substr(md5(doc_id::VARCHAR || 'a'), 1, 8) AS e1,
+                   substr(md5(doc_id::VARCHAR || 'b'), 1, 8) AS e2,
+                   substr(md5(doc_id::VARCHAR || 'c'), 1, 8) AS e3
+            FROM ids
+        ),
+        b_docs AS (
+            SELECT doc_id + 100000 AS doc_id, e1 || 'aaa' AS e1, e2, e3
+            FROM a_docs
+        ),
+        ta0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([e1, e2, e3]) AS token FROM a_docs)
+        ),
+        tb0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([e1, e2, e3]) AS token FROM b_docs)
+        ),
+        ra AS (SELECT * FROM ta0 WHERE token IN (
+            SELECT token FROM ta0 GROUP BY token HAVING count(*) <= 50)),
+        rb AS (SELECT * FROM tb0 WHERE token IN (
+            SELECT token FROM tb0 GROUP BY token HAVING count(*) <= 50)),
+        edit AS (
+            SELECT tok_a, tok_b,
+                   1.0 - damerau_levenshtein(tok_a, tok_b)::DOUBLE
+                       / greatest(length(tok_a), length(tok_b)) AS w
+            FROM (SELECT DISTINCT token AS tok_a FROM ra),
+                 (SELECT DISTINCT token AS tok_b FROM rb)
+            WHERE abs(length(tok_a) - length(tok_b)) <= 1
+              AND damerau_levenshtein(tok_a, tok_b) <= 1
+        ),
+        pa AS (SELECT DISTINCT token AS tok_a FROM ra),
+        pb AS (SELECT DISTINCT token AS tok_b FROM rb),
+        pac AS (SELECT tok_a, {code_a} AS code FROM pa),
+        pbc AS (SELECT tok_b, {code_b} AS code FROM pb),
+        ph AS (
+            SELECT pac.tok_a, pbc.tok_b, 0.5 AS w
+            FROM pac JOIN pbc USING (code)
+            WHERE NOT EXISTS (SELECT 1 FROM edit e
+                              WHERE e.tok_a = pac.tok_a AND e.tok_b = pbc.tok_b)
+        ),
+        tm AS (SELECT * FROM edit UNION ALL SELECT * FROM ph),
+        ev AS (
+            SELECT ra.doc_id AS a_id, rb.doc_id AS b_id, tm.tok_a, tm.tok_b, tm.w
             FROM ra JOIN tm ON ra.token = tm.tok_a
                     JOIN rb ON rb.token = tm.tok_b
         ),

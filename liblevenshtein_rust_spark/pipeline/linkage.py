@@ -46,6 +46,13 @@ class LinkConfig:
     max_df: int = 50                 # per-side rare-token DF cutoff
     min_token_matches: int = 2       # evidence threshold per linked pair
     extreme_key_product: int = 1_000_000  # drop keys with n_a*n_b above
+    # second evidence channel: token pairs with EQUAL phonetic codes that
+    # the edit channel missed (name-matching ER's classic OR-blocking —
+    # reference analog: the phonetic rewrite engine feeding the transducer,
+    # phonetic/rules.rs) — scored at a fixed discounted weight
+    use_phonetic: bool = False
+    phonetic_ruleset: str = "skeleton"
+    phonetic_weight: float = 0.5
 
 
 def _tokens(docs: DataFrame, cfg: LinkConfig) -> DataFrame:
@@ -120,15 +127,47 @@ def link_tables(
     cfg = cfg or LinkConfig()
     ta = _tokens(a_docs, cfg)
     tb = _tokens(b_docs, cfg)
-    tm = cross_vocab_matches(
-        ta.select("token").distinct(), tb.select("token").distinct(), cfg
-    ).select(
+    va = ta.select("token").distinct()
+    vb = tb.select("token").distinct()
+    tm = cross_vocab_matches(va, vb, cfg).select(
         "tok_a",
         "tok_b",
-        F.xxhash64("tok_a", "tok_b").alias("pair_id"),
         (
             1.0 - F.col("distance") / F.greatest(F.length("tok_a"), F.length("tok_b"))
         ).alias("w"),
+    )
+    if cfg.use_phonetic:
+        from ..functions.phonetic import phonetic_normalize
+
+        pa = va.select(
+            F.col("token").alias("tok_a"),
+            phonetic_normalize(F.col("token"), cfg.phonetic_ruleset).alias("code"),
+        )
+        pb = vb.select(
+            F.col("token").alias("tok_b"),
+            phonetic_normalize(F.col("token"), cfg.phonetic_ruleset).alias("code"),
+        )
+        # hot-code guard: the phonetic channel's per-key cost is also a
+        # product of side fan-outs (same band policy as the deletion keys)
+        hot = (
+            pa.groupBy("code").agg(F.count("*").alias("na"))
+            .join(pb.groupBy("code").agg(F.count("*").alias("nb")), "code")
+            .where(F.col("na") * F.col("nb") > cfg.extreme_key_product)
+            .select("code")
+        )
+        ph = (
+            pa.join(F.broadcast(hot), "code", "left_anti")
+            .join(pb, "code")
+            .select("tok_a", "tok_b")
+            .distinct()
+            # only pairs the edit channel MISSED: the union stays a set and
+            # an edit match never gets double-counted or down-weighted
+            .join(tm.select("tok_a", "tok_b"), ["tok_a", "tok_b"], "left_anti")
+            .withColumn("w", F.lit(float(cfg.phonetic_weight)))
+        )
+        tm = tm.unionByName(ph)
+    tm = tm.select(
+        "tok_a", "tok_b", F.xxhash64("tok_a", "tok_b").alias("pair_id"), "w"
     )
     ev = (
         ta.select(F.col("doc_id").alias("a_id"), F.col("token").alias("tok_a"))

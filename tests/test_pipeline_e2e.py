@@ -175,3 +175,29 @@ def test_link_tables_cross_corpus(spark):
     assert got[1]["b_id"] == 101 and got[1]["n_matched"] >= 4
     assert got[2]["b_id"] == 102 and got[2]["n_matched"] >= 4
     assert all(r["rank"] == 1 for r in got.values())
+
+
+def test_link_tables_phonetic_channel(spark):
+    """A token beyond the edit threshold but phonetically equal (appended
+    vowels strip under the skeleton code) links through the phonetic
+    channel at the discounted weight; edit matches keep full weight."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    a = spark.createDataFrame(
+        [(1, "brdgstn kramden fernsby")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        # brdgstn -> brdgstnaaa: distance 3, same consonant skeleton
+        [(101, "brdgstnaaa kramden fernsby")], "doc_id long, text string"
+    )
+    cfg = linkage.LinkConfig(
+        max_distance=1, use_phonetic=True, phonetic_ruleset="skeleton"
+    )
+    rows = linkage.link_tables(a, b, cfg).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a_id"], r["b_id"], r["n_matched"]) == (1, 101, 3)
+    assert abs(r["score"] - 2.5) < 1e-9  # 1 + 1 + phonetic 0.5
+    # without the channel the heavy typo contributes nothing
+    base = linkage.link_tables(a, b, linkage.LinkConfig(max_distance=1)).collect()
+    assert base[0]["n_matched"] == 2 and abs(base[0]["score"] - 2.0) < 1e-9
