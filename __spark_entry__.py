@@ -1296,6 +1296,45 @@ def q_link_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment quality of the cross-table linkage against the planted
+    truth (b = a + 100000): precision over emitted links, recall over A
+    records — the linkage analog of blocking_quality / ann_recall.  One
+    metric row; the oracle composes the verified link_tables SQL body."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 2000
+    )
+
+    def ent(tag):
+        return F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, 8
+        )
+
+    a = base.select(
+        "doc_id", F.concat_ws(" ", ent("a"), ent("b"), ent("c")).alias("text")
+    )
+    b = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.substring(ent("a"), 1, 3), F.substring(ent("a"), 5, 4)),
+            ent("b"),
+            ent("c"),
+        ).alias("text"),
+    )
+    links = linkage.link_tables(a, b, linkage.LinkConfig(max_distance=1))
+    n_a = base.count()
+    correct = (F.col("b_id") == F.col("a_id") + 100000).cast("long")
+    return links.agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.sum(correct).alias("n_correct"),
+        F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("precision"),
+        F.round(F.sum(correct) / F.lit(float(n_a)), 6).alias("recall"),
+    )
+
+
 def q_link_tables_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linkage with the phonetic evidence channel ON: B's first entity
     token carries appended vowels ('aaa') — beyond edit distance 1 (the
@@ -1613,6 +1652,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_weighted_sample": q_quality_weighted_sample,
     "link_tables": q_link_tables,
     "link_tables_phonetic": q_link_tables_phonetic,
+    "linkage_quality": q_linkage_quality,
     "prefix_iterate": q_prefix_iterate,
     "query_filtered": q_query_filtered,
     "query_by_value_set": q_query_by_value_set,
@@ -2098,6 +2138,17 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, n_matched DESC, b_id) AS rank
             FROM agg
         ) WHERE rank = 1
+    """
+    out["linkage_quality"] = f"""
+        WITH links AS ({out["link_tables"]}),
+        n_a AS (SELECT count(*)::DOUBLE AS n FROM documents WHERE doc_id < 2000)
+        SELECT count(*)::BIGINT AS n_links,
+               sum(CASE WHEN b_id = a_id + 100000 THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+               round(sum(CASE WHEN b_id = a_id + 100000 THEN 1 ELSE 0 END)
+                     / count(*), 6) AS precision,
+               round(sum(CASE WHEN b_id = a_id + 100000 THEN 1 ELSE 0 END)
+                     / (SELECT n FROM n_a), 6) AS recall
+        FROM links
     """
     code_a = _phonetic_rules_sql("tok_a", "skeleton")
     code_b = _phonetic_rules_sql("tok_b", "skeleton")
