@@ -10,6 +10,7 @@ documents embeddings).
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1434,15 +1435,98 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall@5 vs exact brute force over the same 8 probes the ANN
-    queries use — one metric row; the oracle replays BOTH rankings (the
-    two already-green ann_topk CTE bodies) and the same intersection."""
+    queries use — one metric row at the chosen >=0.9-recall operating point
+    (nprobe=12, from the ivf_recall_sweep table; the test corpus embeddings
+    are structureless, so recall tracks scanned fraction — see
+    similarity.ann_recall).  The oracle replays BOTH rankings and the same
+    intersection."""
     from liblevenshtein_rust_spark.operators import similarity
 
     emb = tables.embeddings(spark, sf_dir)
     probes = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.ann_recall(probes, emb, k=5, n_cells=16, nprobe=4)
+    return similarity.ann_recall(probes, emb, k=5, n_cells=16, nprobe=12)
+
+
+def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/cost table per nprobe (similarity.ivf_recall_sweep): the
+    closed-form sweep — an exact neighbor is recalled iff its cell's
+    probe-rank <= nprobe — so one brute-force pass covers all points.
+    The oracle replays centroid pick, assignment, probe ranking, exact
+    top-k, and both aggregates."""
+    from liblevenshtein_rust_spark.operators import similarity
+
+    emb = tables.embeddings(spark, sf_dir)
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_recall_sweep(
+        probes, emb, k=5, n_cells=16, nprobes=(1, 2, 4, 8, 12, 16)
+    )
+
+
+_MITTON_MINI = str(Path(__file__).resolve().parent / "data/corpora/mini_mitton.dat")
+
+
+def q_mitton_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@d over the committed Mitton-format mini corpus through the
+    FULL blocked path: text-source parse (running $-header window,
+    sources/corpus.py) → deletion-key blocking → kernel.  43 planted pairs
+    (33 at d=1, 9 at d=2, one at d=3 that must NOT be recalled).  The
+    oracle re-parses the same committed file driver-side and recomputes
+    every aggregate with DuckDB's levenshtein() — so a blocking loss, a
+    kernel mis-score, OR a parser drift (freq handling, header scoping)
+    all surface as a value mismatch."""
+    from liblevenshtein_rust_spark.sources import corpus
+
+    pairs = corpus.load_mitton_pairs(spark, _MITTON_MINI)
+    return corpus.blocked_misspelling_recall(pairs, 2, variant="standard")
+
+
+def _mitton_mini_sql() -> str:
+    """Oracle for mitton_blocked_recall: parse the SAME committed file with
+    the reference's line semantics (parser.rs:208-219 — first token is the
+    misspelling, optional second token the frequency, default 1) and embed
+    it as VALUES; recall via DuckDB's built-in levenshtein (standard
+    variant, exactly the kernel's STANDARD algorithm)."""
+    rows = []
+    cur = None
+    with open(_MITTON_MINI) as f:
+        for line in f:
+            t = line.strip()
+            if not t:
+                continue
+            if t.startswith("$"):
+                cur = t[1:]
+                continue
+            parts = t.split()
+            freq = 1
+            if len(parts) > 1:
+                try:
+                    freq = int(parts[1])
+                except ValueError:
+                    freq = 1
+            rows.append((cur, parts[0], freq))
+    values = ",\n            ".join(
+        f"('{c}', '{m}', {fq})" for c, m, fq in rows
+    )
+    return f"""
+        WITH pairs(correct, misspelling, freq) AS (
+            VALUES {values}
+        ),
+        scored AS (
+            SELECT correct, misspelling, freq,
+                   levenshtein(misspelling, correct) AS distance
+            FROM pairs
+        )
+        SELECT count(*)::BIGINT AS n_pairs,
+               sum(freq)::BIGINT AS total_freq,
+               round(sum(CASE WHEN distance <= 1 THEN 1 ELSE 0 END) / count(*), 6) AS recall_d1,
+               round(sum(CASE WHEN distance <= 2 THEN 1 ELSE 0 END) / count(*), 6) AS recall_d2,
+               round(sum(CASE WHEN distance <= 2 THEN freq ELSE 0 END) / sum(freq), 6) AS weighted_recall_d2
+        FROM scored
+    """
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,7 +1675,39 @@ def q_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessions.session_fold(events)
 
 
+# Ordered RISKIEST-FIRST: the driver's correctness harness has a budget of
+# roughly 50 queries and walks this dict in order (round 2 lesson: the 23
+# newest entries fell past the budget and stayed driver-unchecked).  New
+# operators go at the TOP; long-green veterans at the bottom.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- round-3 additions -----------------------------------------------
+    "mitton_blocked_recall": q_mitton_blocked_recall,
+    "ivf_recall_sweep": q_ivf_recall_sweep,
+    # --- round-2 additions the round-2 driver record never checked -------
+    "link_tables": q_link_tables,
+    "link_tables_phonetic": q_link_tables_phonetic,
+    "linkage_quality": q_linkage_quality,
+    "semantic_dedup": q_semantic_dedup,
+    "quantized_topk": q_quantized_topk,
+    "ann_recall": q_ann_recall,
+    "bloom_contamination": q_bloom_contamination,
+    "bigram_perplexity": q_bigram_perplexity,
+    "curate_documents": q_curate_documents,
+    "corpus_stats": q_corpus_stats,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "session_fold": q_session_fold,
+    "contextual_complete": q_contextual_complete,
+    "incremental_update": q_incremental_update,
+    "prefix_iterate": q_prefix_iterate,
+    "query_filtered": q_query_filtered,
+    "query_by_value_set": q_query_by_value_set,
+    "union_with_counts": q_union_with_counts,
+    "union_replace": q_union_replace,
+    "substring_positions": q_substring_positions,
+    "fuzzy_substring_d1": q_fuzzy_substring_d1,
+    "phonetic_join": q_phonetic_join,
+    "phonetic_codes": q_phonetic_codes,
+    # --- round-1/2 veterans, driver-green in CORRECTNESS_r02.json --------
     "fuzzy_query_d2_standard": q_fuzzy_query_d2_standard,
     "fuzzy_query_bucketed": q_fuzzy_query_bucketed,
     "fuzzy_query_topk": q_fuzzy_query_topk,
@@ -1642,29 +1758,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_pair_metrics": q_er_pair_metrics,
     "er_cluster_bcubed": q_er_cluster_bcubed,
     "contamination_overlap": q_contamination_overlap,
-    "bloom_contamination": q_bloom_contamination,
-    "curate_documents": q_curate_documents,
-    "semantic_dedup": q_semantic_dedup,
-    "corpus_stats": q_corpus_stats,
-    "ann_recall": q_ann_recall,
-    "quantized_topk": q_quantized_topk,
-    "bigram_perplexity": q_bigram_perplexity,
-    "quality_weighted_sample": q_quality_weighted_sample,
-    "link_tables": q_link_tables,
-    "link_tables_phonetic": q_link_tables_phonetic,
-    "linkage_quality": q_linkage_quality,
-    "prefix_iterate": q_prefix_iterate,
-    "query_filtered": q_query_filtered,
-    "query_by_value_set": q_query_by_value_set,
-    "union_with_counts": q_union_with_counts,
-    "union_replace": q_union_replace,
-    "substring_positions": q_substring_positions,
-    "fuzzy_substring_d1": q_fuzzy_substring_d1,
-    "phonetic_join": q_phonetic_join,
-    "phonetic_codes": q_phonetic_codes,
-    "incremental_update": q_incremental_update,
-    "contextual_complete": q_contextual_complete,
-    "session_fold": q_session_fold,
 }
 
 
@@ -1989,6 +2082,119 @@ def _curate_documents_sql(
     """
 
 
+def _ivf_topk_sql(nprobe: int) -> str:
+    """DuckDB replay of the IVF index at a given nprobe — shared by
+    ann_topk_ivf (nprobe=4, the 4x-cost-cut example point) and ann_recall
+    (nprobe=12, the measured >=0.9-recall operating point), so the index
+    build can never drift between the two."""
+    return f"""
+            WITH cents AS (
+                SELECT cell, centroid FROM (
+                    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
+                           embedding AS centroid
+                    FROM embeddings
+                ) WHERE cell < 16
+            ),
+            assigned AS (
+                SELECT vec_id, cv, cell FROM (
+                    SELECT e.vec_id, e.embedding AS cv, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                                        c.cell) AS r
+                    FROM embeddings e, cents c
+                ) WHERE r = 1
+            ),
+            probes AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+            ),
+            probe_cells AS (
+                SELECT query_id, qv, cell FROM (
+                    SELECT p.query_id, p.qv, c.cell,
+                           row_number() OVER (PARTITION BY p.query_id
+                               ORDER BY list_cosine_similarity(p.qv::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                                        c.cell) AS r
+                    FROM probes p, cents c
+                ) WHERE r <= {nprobe}
+            ),
+            scored AS (
+                SELECT pc.query_id, a.vec_id,
+                       round(list_cosine_similarity(pc.qv::DOUBLE[], a.cv::DOUBLE[]), 6) AS cos
+                FROM probe_cells pc JOIN assigned a USING (cell)
+            )
+            SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cos, rank::INT AS rank
+            FROM (
+                SELECT query_id, vec_id, cos,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+    """
+
+
+_IVF_SWEEP_SQL = """
+    WITH cents AS (
+        SELECT cell, centroid FROM (
+            SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
+                   embedding AS centroid
+            FROM embeddings
+        ) WHERE cell < 16
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                                c.cell) AS r
+            FROM embeddings e, cents c
+        ) WHERE r = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+    ),
+    probe_rank AS (
+        SELECT p.query_id, c.cell,
+               row_number() OVER (PARTITION BY p.query_id
+                   ORDER BY list_cosine_similarity(p.qv::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                            c.cell) AS pr
+        FROM probes p, cents c
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, e.vec_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                                e.vec_id) AS rank
+            FROM probes p, embeddings e
+        ) WHERE rank <= 5
+    ),
+    np AS (SELECT unnest([1, 2, 4, 8, 12, 16]) AS nprobe),
+    rec AS (
+        SELECT np.nprobe, count(*)::BIGINT AS n_exact,
+               sum(CASE WHEN pr.pr <= np.nprobe THEN 1 ELSE 0 END)::BIGINT AS n_found
+        FROM exact e
+        JOIN assigned a USING (vec_id)
+        JOIN probe_rank pr ON pr.query_id = e.query_id AND pr.cell = a.cell
+        CROSS JOIN np
+        GROUP BY np.nprobe
+    ),
+    sizes AS (SELECT cell, count(*) AS cell_n FROM assigned GROUP BY cell),
+    cost AS (
+        SELECT nprobe,
+               avg(scanned) / (SELECT count(*) FROM assigned) AS cf
+        FROM (
+            SELECT pr.query_id, np.nprobe, sum(s.cell_n) AS scanned
+            FROM probe_rank pr JOIN sizes s USING (cell) CROSS JOIN np
+            WHERE pr.pr <= np.nprobe
+            GROUP BY pr.query_id, np.nprobe
+        )
+        GROUP BY nprobe
+    )
+    SELECT rec.nprobe::INT AS nprobe, rec.n_exact, rec.n_found,
+           round(rec.n_found / rec.n_exact, 6) AS recall_at_k,
+           round(cost.cf, 6) AS candidate_frac
+    FROM rec JOIN cost USING (nprobe)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS_CTE.format(probes=_PROBES_SQL_VALUES)
     toks_prefix = _TOKS_CTE.format(probes=_PREFIX_PROBES_SQL_VALUES)
@@ -1997,9 +2203,11 @@ def oracle_sql() -> dict[str, str]:
     # recall gate = intersection of the two already-verified ANN rankings;
     # composing their oracle SQL verbatim guarantees the three queries can
     # never drift apart
+    out["ivf_recall_sweep"] = _IVF_SWEEP_SQL
+    out["mitton_blocked_recall"] = _mitton_mini_sql()
     out["ann_recall"] = f"""
         WITH exact AS (SELECT query_id, vec_id FROM ({out["ann_topk_bruteforce"]})),
-             ivf AS (SELECT query_id, vec_id FROM ({out["ann_topk_ivf"]}))
+             ivf AS (SELECT query_id, vec_id FROM ({_ivf_topk_sql(nprobe=12)}))
         SELECT count(DISTINCT e.query_id)::BIGINT AS n_queries,
                count(*)::BIGINT AS n_exact,
                sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
@@ -2542,47 +2750,7 @@ def _oracle_sql_dict(toks: str, toks_prefix: str) -> dict[str, str]:
         # same 16 centroids, same nearest-cell assignment (unrounded cosine,
         # bit-identical accumulation order), same nprobe=4 probe cells, same
         # top-k ranking as ann_topk_bruteforce.
-        "ann_topk_ivf": """
-            WITH cents AS (
-                SELECT cell, centroid FROM (
-                    SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
-                           embedding AS centroid
-                    FROM embeddings
-                ) WHERE cell < 16
-            ),
-            assigned AS (
-                SELECT vec_id, cv, cell FROM (
-                    SELECT e.vec_id, e.embedding AS cv, c.cell,
-                           row_number() OVER (PARTITION BY e.vec_id
-                               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
-                                        c.cell) AS r
-                    FROM embeddings e, cents c
-                ) WHERE r = 1
-            ),
-            probes AS (
-                SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
-            ),
-            probe_cells AS (
-                SELECT query_id, qv, cell FROM (
-                    SELECT p.query_id, p.qv, c.cell,
-                           row_number() OVER (PARTITION BY p.query_id
-                               ORDER BY list_cosine_similarity(p.qv::DOUBLE[], c.centroid::DOUBLE[]) DESC,
-                                        c.cell) AS r
-                    FROM probes p, cents c
-                ) WHERE r <= 4
-            ),
-            scored AS (
-                SELECT pc.query_id, a.vec_id,
-                       round(list_cosine_similarity(pc.qv::DOUBLE[], a.cv::DOUBLE[]), 6) AS cos
-                FROM probe_cells pc JOIN assigned a USING (cell)
-            )
-            SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id, cos, rank::INT AS rank
-            FROM (
-                SELECT query_id, vec_id, cos,
-                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-                FROM scored
-            ) WHERE rank <= 5
-        """,
+        "ann_topk_ivf": _ivf_topk_sql(nprobe=4),
         "span_roundtrip": """
             SELECT doc_id::BIGINT AS doc_id,
                    CASE WHEN (i - 1) % 5 = 4 THEN 'media' ELSE 'text' END AS kind,

@@ -172,7 +172,7 @@ def cmd_curate(spark, args) -> None:
     docs = spark.read.parquet(args.docs)
     eval_docs = spark.read.parquet(args.eval_docs) if args.eval_docs else None
     cfg = curation.CurationConfig(
-        allowed_langs=tuple(args.lang),
+        allowed_langs=tuple(args.lang or ["en"]),
         max_dup_frac=args.max_dup_frac,
         max_pii=args.max_pii,
         line_min_docs=args.line_min_docs,
@@ -184,9 +184,12 @@ def cmd_curate(spark, args) -> None:
     if args.output:
         corpus.write.mode("overwrite").parquet(args.output)
     rs = curation.Runstate(spark, args.run_dir, curation.asdict(cfg))
+    # ledger shows only THIS config's stages: run_dir reuse after a config
+    # change would otherwise report stale manifests from the old run
     stages = {
         s: {"rows": m["rows"], "wall_s": m["wall_s"]}
         for s, m in rs.manifests().items()
+        if m.get("fingerprint") == rs.fingerprint
     }
     print(json.dumps({"run_dir": args.run_dir, "stages": stages}))
 
@@ -254,7 +257,10 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--run-dir", required=True)
     cu.add_argument("--eval-docs", default=None)
     cu.add_argument("--output", default=None)
-    cu.add_argument("--lang", action="append", default=["en"])
+    # default=None, applied as `args.lang or ["en"]` in cmd_curate: argparse
+    # APPENDS user values to a list default, so default=["en"] would make
+    # English impossible to exclude via the CLI (--lang de -> ["en","de"])
+    cu.add_argument("--lang", action="append", default=None)
     cu.add_argument("--max-dup-frac", type=float, default=0.2)
     cu.add_argument("--max-pii", type=int, default=5)
     cu.add_argument("--line-min-docs", type=int, default=5)

@@ -46,32 +46,40 @@ _PAD = np.uint32(0xFFFFFFFF)  # sentinel codepoint: never equal to a real char
 
 
 class _ScratchPool:
-    """Per-process scratch buffers reused across Arrow batches.
+    """Per-thread scratch buffers reused across Arrow batches.
 
     Spark python workers are long-lived and single-threaded (one task at a
-    time per worker process), so a module-level pool is safe and means the
-    kernel's working set is faulted in ONCE per worker instead of being
-    mmap/munmap-cycled per batch — glibc returns >128 KB frees to the OS, so
-    without the pool every batch re-faults fresh pages (measured 10-100x
-    slower than steady state under host memory throttling, and the fault
-    path anti-scales with cores because the host serializes it).
+    time per worker process), so in the UDF hot path this behaves as a
+    per-process pool: the kernel's working set is faulted in ONCE per worker
+    instead of being mmap/munmap-cycled per batch — glibc returns >128 KB
+    frees to the OS, so without the pool every batch re-faults fresh pages
+    (measured 10-100x slower than steady state under host memory throttling,
+    and the fault path anti-scales with cores because the host serializes
+    it).  Storage is ``threading.local`` so DRIVER-side callers (tests,
+    notebooks, local-mode threads) can never alias each other's buffers —
+    a second thread simply gets its own pool.
     """
 
     def __init__(self) -> None:
-        self._bufs: dict = {}
+        import threading
+
+        self._tls = threading.local()
 
     def get(self, name: str, shape: tuple, dtype) -> np.ndarray:
+        bufs = getattr(self._tls, "bufs", None)
+        if bufs is None:
+            bufs = self._tls.bufs = {}
         need = 1
         for s in shape:
             need *= int(s)
         key = (name, np.dtype(dtype).str)
-        buf = self._bufs.get(key)
+        buf = bufs.get(key)
         if buf is None or buf.size < need:
             cap = max(need, 1)
             if buf is not None:  # grow geometrically: few reallocations
                 cap = max(cap, buf.size * 2)
             buf = np.empty(cap, dtype=dtype)
-            self._bufs[key] = buf
+            bufs[key] = buf
         return buf[:need].reshape(shape)
 
 

@@ -72,6 +72,38 @@ def _deterministic_centroids(corpus: DataFrame, cid: str, cvec: str, n_cells: in
     )
 
 
+def _assign_cells(corpus: DataFrame, cents: DataFrame, cid: str, cvec: str) -> DataFrame:
+    """Nearest-centroid assignment: (vec_id, cv, cell, cdist).  One broadcast
+    join against the C-row centroid table; the per-vector window ranks C
+    rows per vector (C tiny), tie-broken on cell id for determinism."""
+    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.col("cdist").desc(), F.col("cell")
+    )
+    return (
+        c.join(F.broadcast(cents))
+        .select("vec_id", "cv", "cell", cosine(F.col("cv"), F.col("centroid")).alias("cdist"))
+        .withColumn("_r", F.row_number().over(assign_w))
+        .where(F.col("_r") == 1)
+        .select("vec_id", "cv", "cell", "cdist")
+    )
+
+
+def _probe_cell_ranks(queries: DataFrame, cents: DataFrame, qid: str, qvec: str) -> DataFrame:
+    """Full probe-order ranking of every cell per query: (query_id, qv,
+    cell, probe_rank 1..C).  Callers slice ``probe_rank <= nprobe``."""
+    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").desc(), F.col("cell")
+    )
+    return (
+        q.join(F.broadcast(cents))
+        .select("query_id", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("cdist"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .select("query_id", "qv", "cell", "probe_rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -90,30 +122,14 @@ def ivf_topk(
     2. per query, pick its `nprobe` nearest cells;
     3. score only vectors in those cells; windowed top-k.
     Recall < 1 by construction (approximate); precision exact on scored set.
+    Pick nprobe from :func:`ivf_recall_sweep` on a probe sample — recall is
+    a property of the DATA's cluster structure, not of the index code.
     """
     cents = _deterministic_centroids(corpus, cid, cvec, n_cells)
-
-    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.col("cdist").desc(), F.col("cell")
-    )
-    assigned = (
-        c.join(F.broadcast(cents))
-        .select("vec_id", "cv", "cell", cosine(F.col("cv"), F.col("centroid")).alias("cdist"))
-        .withColumn("_r", F.row_number().over(assign_w))
-        .where(F.col("_r") == 1)
-        .select("vec_id", "cv", "cell")
-    )
-
-    q = queries.select(F.col(qid).alias("query_id"), F.col(qvec).alias("qv"))
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("cdist").desc(), F.col("cell")
-    )
+    assigned = _assign_cells(corpus, cents, cid, cvec).select("vec_id", "cv", "cell")
     probe_cells = (
-        q.join(F.broadcast(cents))
-        .select("query_id", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("cdist"))
-        .withColumn("_r", F.row_number().over(probe_w))
-        .where(F.col("_r") <= nprobe)
+        _probe_cell_ranks(queries, cents, qid, qvec)
+        .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "qv", "cell")
     )
 
@@ -161,18 +177,7 @@ def semantic_dedup(
     portability contract shared with `embedding_near_pairs`).
     """
     cents = _deterministic_centroids(corpus, cid, cvec, n_cells)
-    c = corpus.select(F.col(cid).alias("vec_id"), F.col(cvec).alias("cv"))
-    assign_w = Window.partitionBy("vec_id").orderBy(F.col("cdist").desc(), F.col("cell"))
-    assigned = (
-        c.join(F.broadcast(cents))
-        .select(
-            "vec_id", "cv", "cell",
-            cosine(F.col("cv"), F.col("centroid")).alias("cdist"),
-        )
-        .withColumn("_r", F.row_number().over(assign_w))
-        .where(F.col("_r") == 1)
-        .select("vec_id", "cv", "cell", "cdist")
-    )
+    assigned = _assign_cells(corpus, cents, cid, cvec)
     rank_w = Window.partitionBy("cell").orderBy(F.col("cdist").desc(), F.col("vec_id"))
     ranked = assigned.withColumn("cell_rank", F.row_number().over(rank_w)).select(
         "vec_id", "cv", "cell", "cell_rank"
@@ -200,12 +205,93 @@ def semantic_dedup(
     )
 
 
+def ivf_recall_sweep(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobes: tuple = (1, 2, 4, 8, 12, 16),
+    qid: str = "query_id",
+    qvec: str = "query_vec",
+    cid: str = "vec_id",
+    cvec: str = "embedding",
+) -> DataFrame:
+    """Recall@k AND scan cost per nprobe in ONE pass — the tuning table
+    behind the choice of operating point (the reference's recall contract,
+    ``tests/corpus_validation.rs:22-28``, made into a measurement).
+
+    Output: (nprobe, n_exact, n_found, recall_at_k, candidate_frac) — one
+    row per swept nprobe; ``candidate_frac`` is the mean fraction of the
+    corpus scored per probe (the cost axis of the recall/cost trade).
+
+    Closed form, no per-nprobe re-query: an exact top-k neighbor is
+    recalled by IVF iff its assigned cell's probe-rank <= nprobe — IVF
+    scores its candidate set EXACTLY, so any exact-top-k member that
+    reaches the candidate set outranks every non-member and survives the
+    top-k cut.  Hence one brute-force pass + one probe-rank join cover the
+    whole sweep; the nprobe axis is a tiny cross join folded into the
+    aggregate.
+
+    Scale: exactly the :func:`ann_recall` argument — brute force confines
+    to a probe SAMPLE (Q small by construction); everything else is the
+    index's own broadcast-join plan, swept for free.
+    """
+    spark = corpus.sparkSession
+    cents = _deterministic_centroids(corpus, cid, cvec, n_cells)
+    assigned = _assign_cells(corpus, cents, cid, cvec).select("vec_id", "cell")
+    ranks = _probe_cell_ranks(queries, cents, qid, qvec).select(
+        "query_id", "cell", "probe_rank"
+    )
+    exact = brute_force_topk(queries, corpus, k, qid, qvec, cid, cvec).select(
+        "query_id", "vec_id"
+    )
+    # probe-rank of each exact neighbor's cell, per (query, neighbor)
+    hit_rank = (
+        exact.join(assigned, "vec_id")
+        .join(ranks, ["query_id", "cell"])
+        .select("query_id", "vec_id", "probe_rank")
+    )
+    np_df = spark.createDataFrame([(int(n),) for n in sorted(set(nprobes))], "nprobe int")
+    recall = (
+        hit_rank.crossJoin(F.broadcast(np_df))
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum((F.col("probe_rank") <= F.col("nprobe")).cast("long")).alias(
+                "n_found"
+            ),
+        )
+        .withColumn("recall_at_k", F.round(F.col("n_found") / F.col("n_exact"), 6))
+    )
+    # cost axis: |cells with probe_rank <= nprobe| summed over sizes / N,
+    # averaged over queries — cell sizes from the same assignment table
+    n_total = assigned.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    cost = (
+        ranks.join(F.broadcast(sizes), "cell")
+        .crossJoin(F.broadcast(np_df))
+        .where(F.col("probe_rank") <= F.col("nprobe"))
+        .groupBy("query_id", "nprobe")
+        .agg(F.sum("cell_n").alias("scanned"))
+        .groupBy("nprobe")
+        .agg(F.avg("scanned").alias("avg_scanned"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "nprobe",
+            F.round(F.col("avg_scanned") / F.col("n"), 6).alias("candidate_frac"),
+        )
+    )
+    return recall.join(cost, "nprobe").select(
+        "nprobe", "n_exact", "n_found", "recall_at_k", "candidate_frac"
+    )
+
+
 def ann_recall(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 12,
     qid: str = "query_id",
     qvec: str = "query_vec",
     cid: str = "vec_id",
@@ -225,6 +311,14 @@ def ann_recall(
     Scale: brute force is O(Q·N) — this gate runs on a SAMPLE of probes
     (Q small by construction), which is also how production measures ANN
     recall at 10^12 vectors; the IVF side reuses the index's own plan.
+
+    The default nprobe=12 (of 16 cells) is the measured >=0.9-recall
+    operating point on the sandbox test corpus, whose embeddings are
+    STRUCTURELESS (within-label mean cosine 0.002 ≈ cross-label 0.000) —
+    on iid data recall cannot beat the scanned fraction, so a high recall
+    gate forces a high nprobe.  On clustered data the same index reaches
+    the gate at far lower nprobe (pytest gates this with a planted-cluster
+    fixture); pick the point from :func:`ivf_recall_sweep` per corpus.
     """
     exact = brute_force_topk(queries, corpus, k, qid, qvec, cid, cvec).select(
         "query_id", "vec_id"

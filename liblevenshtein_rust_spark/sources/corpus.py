@@ -31,10 +31,15 @@ def load_bigtxt_words(spark: SparkSession, path: str, min_len: int = 1) -> DataF
 
 
 def load_mitton_pairs(spark: SparkSession, path: str) -> DataFrame:
-    """Mitton ``$word`` + misspelling lines → (correct, misspelling).
+    """Mitton ``$word`` + misspelling lines → (correct, misspelling, freq).
 
     The running ``$``-header is recovered with an ordered window over the
     per-file line index — no driver-side iteration, arbitrarily large files.
+
+    Reference semantics (``src/corpus/parser.rs:208-219``): a misspelling
+    line is ``word`` or ``word frequency``; the misspelling is the FIRST
+    whitespace token, the optional second token is its frequency
+    (default 1, unparseable → 1).
     """
     lines = (
         spark.read.text(path)
@@ -51,9 +56,19 @@ def load_mitton_pairs(spark: SparkSession, path: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     filled = tagged.withColumn("correct", F.last("header", ignorenulls=True).over(w))
+    parts = F.split(F.col("line"), r"\s+")
     return (
         filled.where(F.col("header").isNull() & F.col("correct").isNotNull())
-        .select("correct", F.col("line").alias("misspelling"))
+        .select(
+            "correct",
+            parts.getItem(0).alias("misspelling"),
+            # F.get: null (not an ANSI error) when there is no second token;
+            # try_cast: null on a non-numeric token — both default to 1,
+            # the reference's parse().unwrap_or(1)
+            F.coalesce(
+                F.get(parts, 1).try_cast("int"), F.lit(1)
+            ).alias("freq"),
+        )
     )
 
 
@@ -81,6 +96,61 @@ def misspelling_recall(
             for d in range(1, max_distance + 1)
         ],
     )
+
+
+def blocked_misspelling_recall(
+    pairs: DataFrame, max_distance: int, variant: str = "standard"
+) -> DataFrame:
+    """Recall@d over a misspelling corpus through the FULL blocked query
+    path — deletion-neighborhood keys + kernel (``matching.fuzzy_query``),
+    not a pairwise UDF.  This is the E2E analog of the reference's corpus
+    validation gates (``tests/corpus_validation.rs:22-28``): it fails not
+    only if the kernel mis-scores a pair but also if BLOCKING loses a
+    candidate the kernel would have accepted.
+
+    Input: (correct, misspelling[, freq]) as from :func:`load_mitton_pairs`.
+    Output one row: (n_pairs, total_freq, recall_d1..recall_dn,
+    weighted_recall_dn) — ``weighted`` weights by misspelling frequency,
+    the reference's ``total_misspellings`` axis.
+
+    Scale: the probe side is the distinct misspelling set, the dictionary
+    side the distinct correct set — both key-blocked, so a 10^9-pair corpus
+    runs as one equi-join, never a cross join.
+    """
+    from ..operators.matching import fuzzy_query
+
+    if "freq" not in pairs.columns:
+        pairs = pairs.withColumn("freq", F.lit(1))
+    probes = pairs.select(F.col("misspelling").alias("query")).distinct()
+    terms = pairs.select(F.col("correct").alias("term")).distinct()
+    m = fuzzy_query(probes, terms, max_distance, variant).select(
+        F.col("query").alias("misspelling"),
+        F.col("term").alias("correct"),
+        "distance",
+    )
+    scored = pairs.join(m, ["correct", "misspelling"], "left")
+    n = F.count(F.lit(1))
+    tot_f = F.sum("freq")
+    aggs = [
+        n.cast("bigint").alias("n_pairs"),
+        tot_f.cast("bigint").alias("total_freq"),
+    ]
+    for d in range(1, max_distance + 1):
+        aggs.append(
+            F.round(
+                F.sum(F.when(F.col("distance") <= d, 1).otherwise(0)) / n, 6
+            ).alias(f"recall_d{d}")
+        )
+    aggs.append(
+        F.round(
+            F.sum(
+                F.when(F.col("distance") <= max_distance, F.col("freq")).otherwise(0)
+            )
+            / tot_f,
+            6,
+        ).alias(f"weighted_recall_d{max_distance}")
+    )
+    return scored.agg(*aggs)
 
 
 def load_word_list(spark: SparkSession, path: str, min_len: int = 1) -> DataFrame:

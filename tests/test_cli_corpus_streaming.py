@@ -143,6 +143,72 @@ def test_mitton_pairs(spark, tmp_path):
     }
 
 
+def test_mitton_pairs_frequency(spark, tmp_path):
+    """Reference line semantics (parser.rs:208-219): 'word freq' lines —
+    misspelling is the first token, optional frequency defaults to 1 and
+    unparseable frequencies fall back to 1."""
+    f = tmp_path / "missp.dat"
+    f.write_text("$hello\nhelo 2\nhllo 1\n\n$world\nwrld\nworlld x\n")
+    rows = {
+        (r["correct"], r["misspelling"]): r["freq"]
+        for r in corpus.load_mitton_pairs(spark, str(f)).collect()
+    }
+    assert rows == {
+        ("hello", "helo"): 2,
+        ("hello", "hllo"): 1,
+        ("world", "wrld"): 1,
+        ("world", "worlld"): 1,
+    }
+
+
+def test_mini_mitton_blocked_recall_gate(spark):
+    """E2E corpus gate on the COMMITTED mini corpus through the full
+    blocked path (parse → deletion-key blocking → kernel) — the
+    corpus_validation.rs analog on shipped data.  Expected values are
+    recomputed here with an independent pure-python DP, so the test fails
+    on parser drift, blocking loss, or kernel mis-scoring alike."""
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "data/corpora/mini_mitton.dat"
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expected = []
+    cur = None
+    for line in path.read_text().splitlines():
+        t = line.strip()
+        if not t:
+            continue
+        if t.startswith("$"):
+            cur = t[1:]
+            continue
+        parts = t.split()
+        freq = int(parts[1]) if len(parts) > 1 and parts[1].isdigit() else 1
+        expected.append((cur, parts[0], freq, lev(cur, parts[0])))
+    n = len(expected)
+    tot_f = sum(f for *_, f, _d in [(c, m, f, d) for c, m, f, d in expected])
+    exp_d1 = sum(1 for *_, d in expected if d <= 1) / n
+    exp_d2 = sum(1 for *_, d in expected if d <= 2) / n
+    exp_w2 = sum(f for *_, f, d in expected if d <= 2) / tot_f
+
+    pairs = corpus.load_mitton_pairs(spark, str(path))
+    row = corpus.blocked_misspelling_recall(pairs, 2, variant="standard").collect()[0]
+    assert row["n_pairs"] == n
+    assert row["total_freq"] == tot_f
+    assert abs(row["recall_d1"] - exp_d1) < 1e-6
+    assert abs(row["recall_d2"] - exp_d2) < 1e-6
+    assert abs(row["weighted_recall_d2"] - exp_w2) < 1e-6
+    # the corpus plants exactly one beyond-d2 pair: recall_d2 < 1 by design
+    assert row["recall_d2"] < 1.0
+
+
 def test_misspelling_recall_gate(spark, tmp_path):
     """Planted d<=2 typos must give 100% recall@2 — the corpus_validation.rs
     analog on synthetic data (FIXTURES.md T5)."""

@@ -562,7 +562,6 @@ def test_semantic_dedup_planted_duplicates(spark):
         v = [0.0] * dim
         v[i] = 1.0
         return v
-    rows = [(i, unit(i % dim)) for i in range(3)]          # 3 copies of e0... no:
     rows = [(0, unit(0)), (1, unit(0)), (2, unit(0))]       # identical trio
     rows += [(10 + i, unit(1 + i)) for i in range(5)]       # 5 orthogonal singles
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
