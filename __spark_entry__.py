@@ -1336,6 +1336,118 @@ def q_linkage_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_tables_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linkage hardened for asymmetric sides: score floor + MUTUAL best
+    (one-to-one).  The fixture plants the three failure shapes the plain
+    best-per-A assignment gets wrong:
+
+    - duplicate A records (i % 7 == 0 twins at a_id + 50000) contending
+      for one B — mutual keeps exactly one link (a_id tie-break), not two;
+    - A records with NO true twin (i % 11 == 0, twin withheld) — the
+      floor (min_score=2.5) stops them being force-assigned to...
+    - weak decoy B records (i % 5 == 0 at b_id + 200000: two exact shared
+      tokens + one junk token, score exactly 2.0 < floor).
+
+    The oracle replays the whole thing unblocked (DL<=1 vocab cross join,
+    floor, both row_number ranks) — value-equality proves the blocked
+    mutual path lossless AND the assignment semantics exact."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 2000
+    )
+
+    def ent(tag):
+        return F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, 8
+        )
+
+    a_text = F.concat_ws(" ", ent("a"), ent("b"), ent("c")).alias("text")
+    a = base.select("doc_id", a_text).unionByName(
+        base.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"), a_text
+        )
+    )
+    b = (
+        base.where(F.col("doc_id") % 11 != 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.substring(ent("a"), 1, 3), F.substring(ent("a"), 5, 4)),
+                ent("b"),
+                ent("c"),
+            ).alias("text"),
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat_ws(" ", ent("b"), ent("c"), ent("z")).alias("text"),
+            )
+        )
+    )
+    out = linkage.link_tables(
+        a, b, linkage.LinkConfig(max_distance=1, min_score=2.5, mutual=True)
+    )
+    return out.select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental linkage (linkage.update_assignments): a B-side delta is
+    folded into a standing best-match table without re-scoring the old B
+    corpus.  Fixture: standing = typo-twins for EVEN ids only; delta =
+    EXACT copies for ids % 3 == 0 (score 3.0 beats the incumbent 2.875 →
+    displacement) — so the output mixes displaced incumbents (even, %3),
+    kept incumbents (even, not %3) and delta-created assignments (odd,
+    %3).  The oracle replays standing, delta scoring, and the
+    strictly-better merge rule end-to-end."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 2000
+    )
+
+    def ent(tag):
+        return F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, 8
+        )
+
+    a = base.select(
+        "doc_id", F.concat_ws(" ", ent("a"), ent("b"), ent("c")).alias("text")
+    )
+    b0 = base.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.substring(ent("a"), 1, 3), F.substring(ent("a"), 5, 4)),
+            ent("b"),
+            ent("c"),
+        ).alias("text"),
+    )
+    delta = base.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(" ", ent("a"), ent("b"), ent("c")).alias("text"),
+    )
+    cfg = linkage.LinkConfig(max_distance=1)
+    standing = linkage.link_tables(a, b0, cfg).select(
+        "a_id", "b_id", "n_matched", "score"
+    )
+    out = linkage.update_assignments(standing, a, delta, cfg)
+    return out.select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "score",
+        "changed",
+    )
+
+
 def q_link_tables_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linkage with the phonetic evidence channel ON: B's first entity
     token carries appended vowels ('aaa') — beyond edit distance 1 (the
@@ -1529,6 +1641,75 @@ def _mitton_mini_sql() -> str:
     """
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment (sampling.hash_split): one
+    deterministic label per doc from cumulative md5-prefix ranges — a doc
+    can never migrate between train and eval across reruns/appends.  The
+    oracle replays the same sorted-label cumulative thresholds."""
+    docs = tables.documents(spark, sf_dir).select("doc_id")
+    out = _sampling.hash_split(docs, _SPLIT_WEIGHTS)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "split")
+
+
+def _hash_split_sql() -> str:
+    total = sum(_SPLIT_WEIGHTS.values())
+    labels = sorted(_SPLIT_WEIGHTS)
+    acc, whens = 0.0, []
+    for label in labels[:-1]:
+        acc += _SPLIT_WEIGHTS[label] / total
+        thr = format(max(0, min(int(acc * 16**8), 16**8 - 1)), "08x")
+        whens.append(
+            f"WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{thr}' THEN '{label}'"
+        )
+    return f"""
+        SELECT doc_id::BIGINT AS doc_id,
+               CASE {' '.join(whens)} ELSE '{labels[-1]}' END AS split
+        FROM documents
+    """
+
+
+def q_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc modality profile over the derived interleaved table
+    (multimodal.modality_stats): span counts per kind, media fraction,
+    first media offset, text chars — one zero-shuffle array-HOF
+    projection.  The oracle re-derives the same spans from documents.text
+    and aggregates per doc."""
+    from liblevenshtein_rust_spark.operators import multimodal
+
+    built = _derived_span_docs(spark, sf_dir)
+    out = multimodal.modality_stats(built)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_spans", "n_text", "n_media", "media_frac",
+        "first_media_offset", "text_chars",
+    )
+
+
+_MODALITY_STATS_SQL = """
+    WITH sp AS (
+        SELECT doc_id,
+               (i - 1) % 5 = 4 AS is_media,
+               (i - 1)::INT AS off,
+               CASE WHEN (i - 1) % 5 = 4 THEN '' ELSE tk[i] END AS text
+        FROM (SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS tk
+              FROM documents),
+             unnest(generate_series(1, len(tk))) g(i)
+    )
+    SELECT doc_id::BIGINT AS doc_id,
+           count(*)::INT AS n_spans,
+           sum(CASE WHEN is_media THEN 0 ELSE 1 END)::INT AS n_text,
+           sum(CASE WHEN is_media THEN 1 ELSE 0 END)::INT AS n_media,
+           round(sum(CASE WHEN is_media THEN 1 ELSE 0 END) / count(*), 6) AS media_frac,
+           min(CASE WHEN is_media THEN off END)::INT AS first_media_offset,
+           sum(length(text))::INT AS text_chars
+    FROM sp GROUP BY doc_id
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card (text.corpus_stats): gate signals
     aggregated in one scan + one low-cardinality groupBy.  The oracle
@@ -1683,8 +1864,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-3 additions -----------------------------------------------
     "mitton_blocked_recall": q_mitton_blocked_recall,
     "ivf_recall_sweep": q_ivf_recall_sweep,
+    "hash_split": q_hash_split,
+    "modality_stats": q_modality_stats,
     # --- round-2 additions the round-2 driver record never checked -------
     "link_tables": q_link_tables,
+    "link_tables_mutual": q_link_tables_mutual,
+    "linkage_incremental": q_linkage_incremental,
     "link_tables_phonetic": q_link_tables_phonetic,
     "linkage_quality": q_linkage_quality,
     "semantic_dedup": q_semantic_dedup,
@@ -2205,6 +2390,8 @@ def oracle_sql() -> dict[str, str]:
     # never drift apart
     out["ivf_recall_sweep"] = _IVF_SWEEP_SQL
     out["mitton_blocked_recall"] = _mitton_mini_sql()
+    out["hash_split"] = _hash_split_sql()
+    out["modality_stats"] = _MODALITY_STATS_SQL
     out["ann_recall"] = f"""
         WITH exact AS (SELECT query_id, vec_id FROM ({out["ann_topk_bruteforce"]})),
              ivf AS (SELECT query_id, vec_id FROM ({_ivf_topk_sql(nprobe=12)}))
@@ -2346,6 +2533,179 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY score DESC, n_matched DESC, b_id) AS rank
             FROM agg
         ) WHERE rank = 1
+    """
+    out["link_tables_mutual"] = """
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+        a_base AS (
+            SELECT doc_id,
+                   substr(md5(doc_id::VARCHAR || 'a'), 1, 8) AS e1,
+                   substr(md5(doc_id::VARCHAR || 'b'), 1, 8) AS e2,
+                   substr(md5(doc_id::VARCHAR || 'c'), 1, 8) AS e3,
+                   substr(md5(doc_id::VARCHAR || 'z'), 1, 8) AS ez
+            FROM ids
+        ),
+        a_docs AS (
+            SELECT doc_id, e1, e2, e3 FROM a_base
+            UNION ALL
+            SELECT doc_id + 50000, e1, e2, e3 FROM a_base WHERE doc_id % 7 = 0
+        ),
+        b_docs AS (
+            SELECT doc_id + 100000 AS doc_id,
+                   substr(e1, 1, 3) || substr(e1, 5, 4) AS t1, e2 AS t2, e3 AS t3
+            FROM a_base WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT doc_id + 200000, e2, e3, ez
+            FROM a_base WHERE doc_id % 5 = 0
+        ),
+        ta0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([e1, e2, e3]) AS token FROM a_docs)
+        ),
+        tb0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([t1, t2, t3]) AS token FROM b_docs)
+        ),
+        ra AS (SELECT * FROM ta0 WHERE token IN (
+            SELECT token FROM ta0 GROUP BY token HAVING count(*) <= 50)),
+        rb AS (SELECT * FROM tb0 WHERE token IN (
+            SELECT token FROM tb0 GROUP BY token HAVING count(*) <= 50)),
+        tm AS (
+            SELECT tok_a, tok_b,
+                   damerau_levenshtein(tok_a, tok_b) AS d
+            FROM (SELECT DISTINCT token AS tok_a FROM ra),
+                 (SELECT DISTINCT token AS tok_b FROM rb)
+            WHERE abs(length(tok_a) - length(tok_b)) <= 1
+              AND damerau_levenshtein(tok_a, tok_b) <= 1
+        ),
+        ev AS (
+            SELECT ra.doc_id AS a_id, rb.doc_id AS b_id, tm.tok_a, tm.tok_b,
+                   1.0 - tm.d::DOUBLE
+                       / greatest(length(tm.tok_a), length(tm.tok_b)) AS w
+            FROM ra JOIN tm ON ra.token = tm.tok_a
+                    JOIN rb ON rb.token = tm.tok_b
+        ),
+        agg AS (
+            SELECT a_id, b_id,
+                   count(DISTINCT (tok_a, tok_b))::BIGINT AS n_matched,
+                   round(sum(w), 6) AS score
+            FROM ev GROUP BY a_id, b_id
+            HAVING count(DISTINCT (tok_a, tok_b)) >= 2
+               AND round(sum(w), 6) >= 2.5
+        )
+        SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, n_matched, score,
+               ra_rank::INT AS rank
+        FROM (
+            SELECT a_id, b_id, n_matched, score,
+                   row_number() OVER (PARTITION BY a_id
+                       ORDER BY score DESC, n_matched DESC, b_id) AS ra_rank,
+                   row_number() OVER (PARTITION BY b_id
+                       ORDER BY score DESC, n_matched DESC, a_id) AS rb_rank
+            FROM agg
+        ) WHERE ra_rank = 1 AND rb_rank = 1
+    """
+    out["linkage_incremental"] = """
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+        a_base AS (
+            SELECT doc_id,
+                   substr(md5(doc_id::VARCHAR || 'a'), 1, 8) AS e1,
+                   substr(md5(doc_id::VARCHAR || 'b'), 1, 8) AS e2,
+                   substr(md5(doc_id::VARCHAR || 'c'), 1, 8) AS e3
+            FROM ids
+        ),
+        ta0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([e1, e2, e3]) AS token FROM a_base)
+        ),
+        ra AS (SELECT * FROM ta0 WHERE token IN (
+            SELECT token FROM ta0 GROUP BY token HAVING count(*) <= 50)),
+        b0_docs AS (
+            SELECT doc_id + 100000 AS doc_id,
+                   substr(e1, 1, 3) || substr(e1, 5, 4) AS t1, e2 AS t2, e3 AS t3
+            FROM a_base WHERE doc_id % 2 = 0
+        ),
+        tb0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([t1, t2, t3]) AS token FROM b0_docs)
+        ),
+        rb0 AS (SELECT * FROM tb0 WHERE token IN (
+            SELECT token FROM tb0 GROUP BY token HAVING count(*) <= 50)),
+        bd_docs AS (
+            SELECT doc_id + 300000 AS doc_id, e1 AS t1, e2 AS t2, e3 AS t3
+            FROM a_base WHERE doc_id % 3 = 0
+        ),
+        tbd AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([t1, t2, t3]) AS token FROM bd_docs)
+        ),
+        rbd AS (SELECT * FROM tbd WHERE token IN (
+            SELECT token FROM tbd GROUP BY token HAVING count(*) <= 50)),
+        tm0 AS (
+            SELECT tok_a, tok_b, damerau_levenshtein(tok_a, tok_b) AS d
+            FROM (SELECT DISTINCT token AS tok_a FROM ra),
+                 (SELECT DISTINCT token AS tok_b FROM rb0)
+            WHERE abs(length(tok_a) - length(tok_b)) <= 1
+              AND damerau_levenshtein(tok_a, tok_b) <= 1
+        ),
+        standing AS (
+            SELECT a_id, b_id, n_matched, score FROM (
+                SELECT a_id, b_id, n_matched, score,
+                       row_number() OVER (PARTITION BY a_id
+                           ORDER BY score DESC, n_matched DESC, b_id) AS r
+                FROM (
+                    SELECT ra.doc_id AS a_id, rb0.doc_id AS b_id,
+                           count(DISTINCT (tm0.tok_a, tm0.tok_b))::BIGINT AS n_matched,
+                           round(sum(1.0 - tm0.d::DOUBLE
+                               / greatest(length(tm0.tok_a), length(tm0.tok_b))), 6) AS score
+                    FROM ra JOIN tm0 ON ra.token = tm0.tok_a
+                            JOIN rb0 ON rb0.token = tm0.tok_b
+                    GROUP BY ra.doc_id, rb0.doc_id
+                    HAVING count(DISTINCT (tm0.tok_a, tm0.tok_b)) >= 2
+                )
+            ) WHERE r = 1
+        ),
+        tmd AS (
+            SELECT tok_a, tok_b, damerau_levenshtein(tok_a, tok_b) AS d
+            FROM (SELECT DISTINCT token AS tok_a FROM ra),
+                 (SELECT DISTINCT token AS tok_b FROM rbd)
+            WHERE abs(length(tok_a) - length(tok_b)) <= 1
+              AND damerau_levenshtein(tok_a, tok_b) <= 1
+        ),
+        delta_best AS (
+            SELECT a_id, b_id, n_matched, score FROM (
+                SELECT a_id, b_id, n_matched, score,
+                       row_number() OVER (PARTITION BY a_id
+                           ORDER BY score DESC, n_matched DESC, b_id) AS r
+                FROM (
+                    SELECT ra.doc_id AS a_id, rbd.doc_id AS b_id,
+                           count(DISTINCT (tmd.tok_a, tmd.tok_b))::BIGINT AS n_matched,
+                           round(sum(1.0 - tmd.d::DOUBLE
+                               / greatest(length(tmd.tok_a), length(tmd.tok_b))), 6) AS score
+                    FROM ra JOIN tmd ON ra.token = tmd.tok_a
+                            JOIN rbd ON rbd.token = tmd.tok_b
+                    GROUP BY ra.doc_id, rbd.doc_id
+                    HAVING count(DISTINCT (tmd.tok_a, tmd.tok_b)) >= 2
+                )
+            ) WHERE r = 1
+        )
+        , merged AS (
+            SELECT coalesce(s.a_id, d.a_id) AS a_id,
+                   s.b_id AS s_b, s.n_matched AS s_n, s.score AS s_sc,
+                   d.b_id AS d_b, d.n_matched AS d_n, d.score AS d_sc,
+                   CASE WHEN s.a_id IS NULL THEN TRUE
+                        WHEN d.a_id IS NULL THEN FALSE
+                        WHEN d.score > s.score THEN TRUE
+                        WHEN d.score = s.score AND d.n_matched > s.n_matched THEN TRUE
+                        WHEN d.score = s.score AND d.n_matched = s.n_matched
+                             AND d.b_id < s.b_id THEN TRUE
+                        ELSE FALSE END AS dwins
+            FROM standing s FULL OUTER JOIN delta_best d ON s.a_id = d.a_id
+        )
+        SELECT a_id::BIGINT AS a_id,
+               (CASE WHEN dwins THEN d_b ELSE s_b END)::BIGINT AS b_id,
+               (CASE WHEN dwins THEN d_n ELSE s_n END)::BIGINT AS n_matched,
+               CASE WHEN dwins THEN d_sc ELSE s_sc END AS score,
+               dwins AS changed
+        FROM merged
     """
     out["linkage_quality"] = f"""
         WITH links AS ({out["link_tables"]}),

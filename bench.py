@@ -67,12 +67,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
-# 16M pairs: big enough that the 2-core wall (~45 s) dwarfs per-pass fixed
+# 16M pairs: big enough that the 2-core wall (~50 s) dwarfs per-pass fixed
 # cost (~2 s scheduling) so the 2->8 efficiency reading is not
-# overhead-dominated, small enough that the whole 3-size campaign fits
-# ~170 s of the driver budget.
+# overhead-dominated (measured: 0.836-0.844 at 16M vs 0.803 at 12M — the
+# extra margin matters under throttle windows), small enough that the
+# 3-size campaign fits ~290 s of the driver budget single-pass (measured
+# per-worker walls at 16M: 158/81/48 s for 2/8/32 cores incl.
+# JVM+warm+probe-gate+two passes; the worker drops to one pass when its
+# allowance is tight).
 SCALE_PAIRS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_PAIRS", "16000000"))
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "520"))
+# 620 s: the round-2 driver run completed a ~650 s headline phase before
+# its kill landed mid-campaign, so the driver timeout is provably > 650 s;
+# 620 exits (rc=0) safely under it while fitting scaling + one full query
+# pass + ER + english, with top-up passes when the budget allows.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "620"))
 # campaign mode: also measure the full ER pipeline at every size (~35-70
 # min — committed-artifact evidence, never inside a driver budget)
 SCALE_ER = os.environ.get("SPARK_GRAFT_BENCH_SCALE_ER", "0") == "1"
@@ -110,10 +118,11 @@ def _fresh_spark(cores: int, shuffle_partitions: int | None = None):
 # --------------------------------------------------------------------------
 
 
-def bench_queries(spark, deadline: float) -> tuple[dict, dict]:
-    """One guaranteed pass over every query; a second pass while budget
-    remains (host throttle windows make single cold passes 3-5x noisy —
-    report the per-query MIN, keep the cold pass in the detail file)."""
+def bench_queries(spark) -> tuple[dict, dict, dict]:
+    """One pass over every query (returns the live query dict too, so the
+    caller can run a second pass after the other headline jobs — host
+    throttle windows make single cold passes 3-5x noisy; the reported wall
+    is the per-query MIN, the cold pass stays in the detail file)."""
     import __spark_entry__ as entry
 
     # Warm the session once: JVM codegen for the (large) deletion-key
@@ -145,8 +154,14 @@ def bench_queries(spark, deadline: float) -> tuple[dict, dict]:
         cold[name] = round(w, 3)
         out[name] = round(w, 3)
         release_pooled()  # pooled operator caches die with the timing window
-    # second pass, slowest-first (they profit most from a warm re-read),
-    # while the worker's own deadline allows
+    return out, cold, qs
+
+
+def bench_queries_second_pass(spark, out: dict, qs: dict, deadline: float) -> None:
+    """Opportunistic min-merge pass, slowest-first (they profit most from a
+    warm re-read), while the worker's deadline allows."""
+    from liblevenshtein_rust_spark.session import release_pooled
+
     for name in sorted(out, key=out.get, reverse=True):
         if time.time() > deadline - out[name] - 5:
             continue
@@ -154,7 +169,6 @@ def bench_queries(spark, deadline: float) -> tuple[dict, dict]:
         qs[name](spark, SF_DIR).count()
         out[name] = round(min(out[name], time.time() - t0), 3)
         release_pooled()
-    return out, cold
 
 
 ENGLISH_WORDS = "/root/reference/data/english_words.txt"
@@ -233,16 +247,19 @@ def bench_er(spark, n_docs: int, run_dir: str, partitions: int | None = None) ->
 
 def main_worker() -> None:
     """Queries + headline ER + english dict, one subprocess.  Honors the
-    deadline handed down by the parent (epoch seconds)."""
+    deadline handed down by the parent (epoch seconds).  Order: one query
+    pass, then ER + english (so they are never starved), then opportunistic
+    second query passes until the deadline."""
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_WORKER_DEADLINE", "1e18"))
     spark = _fresh_spark(CPUS)
-    q, q_cold = bench_queries(spark, deadline - 35)
+    q, q_cold, qs = bench_queries(spark)
     tmp = tempfile.mkdtemp(prefix="bench_er_")
     try:
         er_res = bench_er(spark, N_DOCS, os.path.join(tmp, "run"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     eng = bench_english_dict(spark)
+    bench_queries_second_pass(spark, q, qs, deadline - 10)
     print(
         json.dumps(
             {"queries": q, "queries_cold": q_cold, "er": er_res, "english_dict": eng}
@@ -398,25 +415,37 @@ def scale_worker(cores: int) -> None:
     # state and SERIALIZES host-side, so it anti-scales with cores.  The
     # steady-state pass is the honest stand-in for a long-running cluster
     # executor at the 10^12-doc regime; the cold pass is reported alongside.
+    # The steady pass runs only if the worker's deadline allowance (set by
+    # the parent from the remaining budget) covers it — the parent's
+    # per-size MIN aggregation works with whatever passes exist.
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_WORKER_DEADLINE", "1e18"))
     t_cold, _ = _score_job(spark, cores)
-    t, _ = _score_job(spark, cores)
     out["score_wall_cold_s"] = round(t_cold, 3)
-    out["score_wall_s"] = round(t, 3)
+    if time.time() + t_cold * 1.1 < deadline:
+        t, _ = _score_job(spark, cores)
+        out["score_wall_s"] = round(t, 3)
     out["host_probe_after_mb_s"] = host_probe()
     print(json.dumps(out))
 
 
-def _run_worker(*args: str, timeout: float = 3600) -> dict:
+def _run_worker(*args: str, timeout: float = 3600,
+                worker_deadline: float | None = None) -> dict:
     """Run one measurement phase in a fresh subprocess.  The parent NEVER
     starts a JVM: a lingering 48 GB driver JVM from an earlier phase was
     measured to slow a concurrent subprocess's stages 3-6x (GC/memory
-    pressure), inverting scaling results."""
+    pressure), inverting scaling results.
+
+    ``worker_deadline`` is this phase's budget ALLOWANCE (epoch seconds):
+    workers use it to decide optional second passes, so an early phase
+    can't greedily spend budget later phases need."""
     import subprocess
 
     env = dict(os.environ,
                SPARK_GRAFT_BENCH_SCALE_PAIRS=str(SCALE_PAIRS),
                SPARK_GRAFT_BENCH_DOCS=str(N_DOCS),
-               SPARK_GRAFT_BENCH_WORKER_DEADLINE=str(_DEADLINE[0] - 15))
+               SPARK_GRAFT_BENCH_WORKER_DEADLINE=str(
+                   worker_deadline if worker_deadline is not None
+                   else _DEADLINE[0] - 15))
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), *args],
         capture_output=True, text=True, env=env,
@@ -516,19 +545,21 @@ def build_scaling(samples: dict[int, list], errors: list) -> dict:
 # orchestration
 # --------------------------------------------------------------------------
 
-# rough per-worker wall estimates (s) for the budget guard, calibrated at
-# 16M pairs on this host; scaled linearly in SCALE_PAIRS
-_SCORE_EST = {1: 230.0, 2: 120.0, 4: 75.0, 8: 50.0, 16: 40.0, 32: 35.0}
+# per-worker single-pass wall estimates (s) for the budget guard:
+# JVM spin-up + warm + probe-gate + ONE full scoring pass, calibrated from
+# measured throttled-window worker walls at 16M pairs (158/81/48 s for
+# 2/8/32 incl. the second pass); scaled linearly in SCALE_PAIRS
+_SCORE_EST = {1: 180.0, 2: 95.0, 4: 70.0, 8: 55.0, 16: 45.0, 32: 40.0}
 
 
 def _score_est(cores: int) -> float:
     base = _SCORE_EST.get(cores, 60.0)
-    return 15.0 + (base - 15.0) * (SCALE_PAIRS / 16_000_000)
+    return 20.0 + (base - 20.0) * (SCALE_PAIRS / 12_000_000)
 
 
-# budget to reserve for the headline phase: warm ~40 s + one query pass
-# ~150 s + ER 8k ~25 s + english ~10 s + slack
-_RESERVE_MAIN = 250.0
+# budget to reserve for the headline phase: JVM ~15 s + warm ~45 s + one
+# query pass ~160 s + ER 8k ~25 s + english ~10 s + slack
+_RESERVE_MAIN = 260.0
 
 
 def main() -> None:
@@ -563,10 +594,16 @@ def main() -> None:
     samples: dict[int, list] = {}
     errors: list[dict] = []
 
-    def run_scale(cores: int) -> None:
+    def run_scale(cores: int, reserve_after: float) -> None:
+        # allowance: the worker may take its optional steady pass only out
+        # of budget not reserved for later phases
+        allowance = max(
+            _score_est(cores), time_left() - reserve_after
+        )
         try:
             s = _run_worker("--scale-worker", str(cores),
-                            timeout=max(time_left() - 10, 60))
+                            timeout=max(time_left() - 10, 60),
+                            worker_deadline=time.time() + allowance)
         except Exception as exc:  # noqa: BLE001
             errors.append({"cores": cores, "error": repr(exc)[:200],
                            "stderr_tail": str(getattr(exc, "stderr", "") or "")[-1200:]})
@@ -585,22 +622,22 @@ def main() -> None:
             sizes = sorted({tiny, low, CPUS})
             # headline pair (tiny, low) first: if the budget dies early the
             # compute-rich N->4N comparison is already on record
-            for cores in [tiny, low, CPUS]:
-                reserve = _RESERVE_MAIN if not SCALE_ER else 0.0
+            order = [tiny, low, CPUS]
+            reserve = _RESERVE_MAIN if not SCALE_ER else 0.0
+            for i, cores in enumerate(order):
+                later = sum(_score_est(c) for c in order[i + 1:])
                 if time_left() < _score_est(cores) + reserve:
                     notes.append(f"scale size {cores} skipped (budget)")
                     continue
-                run_scale(cores)
+                run_scale(cores, reserve + later)
                 emit()
             # campaign mode reps: alternate sizes so they sample comparable
             # host windows; per-size min rescues throttled samples
             for _rep in range(SCALE_REPS - 1):
                 for cores in sizes:
-                    if time_left() < _score_est(cores) + (
-                        _RESERVE_MAIN if not SCALE_ER else 0.0
-                    ):
+                    if time_left() < _score_est(cores) + reserve:
                         continue
-                    run_scale(cores)
+                    run_scale(cores, reserve)
                     emit()
 
     # headline phase
@@ -628,7 +665,7 @@ def main() -> None:
         for cores in sorted(samples, key=lambda c: len(samples[c])):
             if time_left() < _score_est(cores) + 15:
                 continue
-            run_scale(cores)
+            run_scale(cores, 15)
             emit()
 
 

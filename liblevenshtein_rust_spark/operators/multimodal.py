@@ -173,3 +173,41 @@ def docs_with_media_features(docs: DataFrame) -> DataFrame:
     shuffle join; the span invariant is untouched (original docs unmodified)."""
     feats = media_features(docs)
     return extract_media_refs(docs).join(feats, "media_ref")
+
+
+def modality_stats(docs: DataFrame) -> DataFrame:
+    """Per-document modality profile of an interleaved span table — the
+    first question a multimodal curation pipeline asks of every doc (how
+    media-heavy is it, where does media start, how much text rides along)
+    and the gate input for media-ratio filters.
+
+    Input: (doc_id, spans: array<struct<kind,text,media_ref,offset>>).
+    Output one row per doc: (doc_id, n_spans, n_text, n_media, media_frac,
+    first_media_offset — null when no media, text_chars).
+
+    Scale: pure array-HOF projection (filter/transform/aggregate inside
+    one whole-stage-codegen stage) — zero shuffle, zero explode; the same
+    shape argument as the simhash HOF plan (BASELINE.md §Round 2).
+    """
+    media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+    n_spans = F.size("spans")
+    n_media = F.size(media)
+    return docs.select(
+        "doc_id",
+        n_spans.cast("int").alias("n_spans"),
+        (n_spans - n_media).cast("int").alias("n_text"),
+        n_media.cast("int").alias("n_media"),
+        F.when(n_spans > 0, F.round(n_media / n_spans, 6))
+        .otherwise(F.lit(0.0))
+        .alias("media_frac"),
+        F.array_min(F.transform(media, lambda s: s["offset"]))
+        .cast("int")
+        .alias("first_media_offset"),
+        F.aggregate(
+            F.col("spans"),
+            F.lit(0),
+            lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
+        )
+        .cast("int")
+        .alias("text_chars"),
+    )

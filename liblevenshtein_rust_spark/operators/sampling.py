@@ -212,3 +212,46 @@ def quality_weighted_sample(
     [0, 1]); zero-score rows never survive, full-score rows behave like a
     plain Bernoulli(base_rate).  Pure projection — zero shuffle."""
     return docs.where(score_weighted_keep(F.col(id_col), F.col(score_col), base_rate))
+
+
+def hash_split(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly one
+    split label, decided by which cumulative hash range its md5 prefix
+    falls in — the standard leakage-safe split for training corpora
+    (membership depends only on the row's own id, so a doc can NEVER move
+    between train and eval across reruns, resumes, repartitions, or
+    appends of other rows; sampling-based splits re-deal on every one of
+    those).
+
+    ``weights`` maps label -> weight (normalized internally); labels are
+    assigned ranges in SORTED label order so the mapping is itself
+    deterministic.  Output: all input columns + ``split_col``.
+
+    Scale: one md5 + a CASE chain per row, whole-stage codegen, zero
+    shuffle; replayable in ANSI SQL (the same cumulative thresholds).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum > 0")
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    acc = 0.0
+    expr = None
+    labels = sorted(weights)
+    for label in labels[:-1]:
+        acc += weights[label] / total
+        thr = F.lit(format(max(0, min(int(acc * _SPACE), _SPACE - 1)), "08x"))
+        expr = (
+            F.when(prefix < thr, F.lit(label))
+            if expr is None
+            else expr.when(prefix < thr, F.lit(label))
+        )
+    last = F.lit(labels[-1])
+    expr = expr.otherwise(last) if expr is not None else last
+    return docs.withColumn(split_col, expr)

@@ -53,6 +53,12 @@ class LinkConfig:
     use_phonetic: bool = False
     phonetic_ruleset: str = "skeleton"
     phonetic_weight: float = 0.5
+    # assignment hardening for asymmetric sides (real master-data linkage):
+    # drop candidate pairs below the score floor BEFORE ranking, and/or
+    # keep only MUTUAL best matches (B is A's best AND A is B's best) —
+    # one-to-one assignment instead of best-per-A many-to-one
+    min_score: float = 0.0
+    mutual: bool = False
 
 
 def _tokens(docs: DataFrame, cfg: LinkConfig) -> DataFrame:
@@ -117,12 +123,22 @@ def cross_vocab_matches(
 def link_tables(
     a_docs: DataFrame, b_docs: DataFrame, cfg: LinkConfig | None = None
 ) -> DataFrame:
-    """Best B-side match per A-side record.
+    """Best B-side match per A-side record (or mutual-best one-to-one).
 
     Output: (a_id, b_id, n_matched, score, rank) for the top match of
     every A record with >= ``min_token_matches`` matched rare-token pairs;
     ``score`` = Σ (1 − d/max_len) over distinct matched token pairs,
     rounded to 6 (the cross-engine determinism contract) BEFORE ranking.
+
+    ``cfg.min_score`` floors the candidate score before ranking (an A
+    record with only sub-floor candidates links to nothing — the shape a
+    master-data join needs, instead of force-assigning every record);
+    ``cfg.mutual`` keeps only pairs that are top-ranked from BOTH sides
+    (B is A's best and A is B's best, ties broken on the deterministic
+    (score DESC, n_matched DESC, id ASC) order) — duplicate A records
+    contending for one B resolve one-to-one instead of many-to-one.
+    The mutual filter adds one extra keyed shuffle (the b_id window) over
+    the candidate-pair table, which is orders smaller than the evidence.
     """
     cfg = cfg or LinkConfig()
     ta = _tokens(a_docs, cfg)
@@ -187,7 +203,145 @@ def link_tables(
         )
         .where(F.col("n_matched") >= cfg.min_token_matches)
     )
+    if cfg.min_score:
+        agg = agg.where(F.col("score") >= cfg.min_score)
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("score").desc(), F.col("n_matched").desc(), F.col("b_id")
+    )
+    out = agg.withColumn("rank", F.row_number().over(wa))
+    if cfg.mutual:
+        wb = Window.partitionBy("b_id").orderBy(
+            F.col("score").desc(), F.col("n_matched").desc(), F.col("a_id")
+        )
+        out = (
+            out.withColumn("_rb", F.row_number().over(wb))
+            .where((F.col("rank") == 1) & (F.col("_rb") == 1))
+            .drop("_rb")
+        )
+    else:
+        out = out.where(F.col("rank") == 1)
+    return out
+
+
+def best_per_a(candidates: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+    """Deterministic best-per-A reduction of a scored candidate-pair table
+    — the shared ranking rule (score DESC, n_matched DESC, b_id ASC) used
+    by both the batch assignment and the incremental merge."""
+    cfg = cfg or LinkConfig()
     w = Window.partitionBy("a_id").orderBy(
         F.col("score").desc(), F.col("n_matched").desc(), F.col("b_id")
     )
-    return agg.withColumn("rank", F.row_number().over(w)).where(F.col("rank") == 1)
+    out = candidates
+    if cfg.min_score:
+        out = out.where(F.col("score") >= cfg.min_score)
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+def score_pairs(
+    a_docs: DataFrame, b_docs: DataFrame, cfg: LinkConfig | None = None
+) -> DataFrame:
+    """All scored (a_id, b_id, n_matched, score) candidate pairs above the
+    evidence threshold — ``link_tables`` without the final assignment
+    (the reusable half the incremental path needs)."""
+    cfg = cfg or LinkConfig()
+    ta = _tokens(a_docs, cfg)
+    tb = _tokens(b_docs, cfg)
+    va = ta.select("token").distinct()
+    vb = tb.select("token").distinct()
+    tm = cross_vocab_matches(va, vb, cfg).select(
+        "tok_a",
+        "tok_b",
+        (
+            1.0 - F.col("distance") / F.greatest(F.length("tok_a"), F.length("tok_b"))
+        ).alias("w"),
+    )
+    tm = tm.select(
+        "tok_a", "tok_b", F.xxhash64("tok_a", "tok_b").alias("pair_id"), "w"
+    )
+    ev = (
+        ta.select(F.col("doc_id").alias("a_id"), F.col("token").alias("tok_a"))
+        .join(tm.hint("shuffle_hash"), "tok_a")
+        .select("a_id", "tok_b", "pair_id", "w")
+        .join(
+            tb.select(F.col("doc_id").alias("b_id"), F.col("token").alias("tok_b"))
+            .hint("shuffle_hash"),
+            "tok_b",
+        )
+    )
+    return (
+        ev.groupBy("a_id", "b_id")
+        .agg(
+            F.countDistinct("pair_id").alias("n_matched"),
+            F.round(F.sum("w"), 6).alias("score"),
+        )
+        .where(F.col("n_matched") >= cfg.min_token_matches)
+    )
+
+
+def update_assignments(
+    standing: DataFrame,
+    a_docs: DataFrame,
+    b_delta: DataFrame,
+    cfg: LinkConfig | None = None,
+) -> DataFrame:
+    """Incremental linkage: fold a batch of NEW B-side records into a
+    standing best-match table without re-scoring the old B side — the
+    linkage twin of `operators/clustering.incremental_clusters` (and of
+    the reference's DynamicDawg insert path, ``dictionary/dynamic_dawg.rs``:
+    the standing index absorbs additions without a rebuild).
+
+    ``standing``: (a_id, b_id, n_matched, score) — current rank-1 rows
+    (e.g. ``link_tables`` output, rank column optional and ignored).
+    ``b_delta``: ONLY the new B records.  Output: the new standing table
+    (a_id, b_id, n_matched, score, changed) where ``changed`` marks rows
+    whose assignment this delta created or displaced.  A standing
+    assignment can only be displaced by a STRICTLY better candidate under
+    the deterministic order (score DESC, n_matched DESC, b_id ASC) — ties
+    keep the incumbent, so replaying deltas is idempotent and a batch
+    rebuild over A×(B∪delta) yields the same winners wherever the
+    incumbent-vs-rebuild tie semantics coincide (asserted in pytest).
+
+    Scale: the delta is scored against the A side only (blocked vocab ×
+    vocab — the expensive part is proportional to the DELTA, not the
+    standing corpus); the merge is one keyed join on a_id between the
+    standing table and the delta's best-per-A reduction.  The standing
+    table is never shuffled beyond that single a_id-keyed join.
+    """
+    cfg = cfg or LinkConfig()
+    delta_best = best_per_a(score_pairs(a_docs, b_delta, cfg), cfg)
+    s = standing.select(
+        "a_id",
+        F.col("b_id").alias("s_b"),
+        F.col("n_matched").alias("s_n"),
+        F.col("score").alias("s_sc"),
+    )
+    d = delta_best.select(
+        "a_id",
+        F.col("b_id").alias("d_b"),
+        F.col("n_matched").alias("d_n"),
+        F.col("score").alias("d_sc"),
+    )
+    m = s.join(d, "a_id", "full_outer")
+    # strictly-better displacement under (score, n_matched, -b_id)
+    delta_wins = F.when(F.col("s_b").isNull(), F.lit(True)).otherwise(
+        F.when(F.col("d_b").isNull(), F.lit(False)).otherwise(
+            (F.col("d_sc") > F.col("s_sc"))
+            | ((F.col("d_sc") == F.col("s_sc")) & (F.col("d_n") > F.col("s_n")))
+            | (
+                (F.col("d_sc") == F.col("s_sc"))
+                & (F.col("d_n") == F.col("s_n"))
+                & (F.col("d_b") < F.col("s_b"))
+            )
+        )
+    )
+    return m.select(
+        "a_id",
+        F.when(delta_wins, F.col("d_b")).otherwise(F.col("s_b")).alias("b_id"),
+        F.when(delta_wins, F.col("d_n")).otherwise(F.col("s_n")).alias("n_matched"),
+        F.when(delta_wins, F.col("d_sc")).otherwise(F.col("s_sc")).alias("score"),
+        delta_wins.alias("changed"),
+    )

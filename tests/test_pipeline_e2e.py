@@ -201,3 +201,101 @@ def test_link_tables_phonetic_channel(spark):
     # without the channel the heavy typo contributes nothing
     base = linkage.link_tables(a, b, linkage.LinkConfig(max_distance=1)).collect()
     assert base[0]["n_matched"] == 2 and abs(base[0]["score"] - 2.0) < 1e-9
+
+
+def test_link_tables_mutual_and_floor(spark):
+    """Assignment hardening: a duplicate A contending for the same B
+    resolves one-to-one under mutual=True (a_id tie-break), and an A whose
+    only candidate scores under min_score links to nothing instead of
+    being force-assigned."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    a = spark.createDataFrame(
+        [
+            (1, "jonathan smithers acme corporation"),
+            (2, "jonathan smithers acme corporation"),   # duplicate of 1
+            (3, "margaret chalmers globex riverside"),
+        ],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [
+            (101, "jonathon smithers acme corporatian"),  # twin of 1/2
+            # weak decoy for 3: two shared tokens only
+            (102, "margaret chalmers unrelated machinery"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = linkage.LinkConfig(min_token_matches=2, min_score=2.5, mutual=True)
+    rows = linkage.link_tables(a, b, cfg).collect()
+    got = {(r["a_id"], r["b_id"]) for r in rows}
+    # one-to-one: only the lowest a_id of the duplicate pair keeps 101;
+    # a=3's sole candidate (score 2.0) is under the floor
+    assert got == {(1, 101)}
+    # without hardening: both duplicates link, and 3 gets the weak decoy
+    base = {
+        (r["a_id"], r["b_id"])
+        for r in linkage.link_tables(
+            a, b, linkage.LinkConfig(min_token_matches=2)
+        ).collect()
+    }
+    assert base == {(1, 101), (2, 101), (3, 102)}
+
+
+def test_update_assignments_incremental(spark):
+    """Delta merge semantics: strictly-better displaces, ties keep the
+    incumbent, unmatched A records gain assignments, replaying the same
+    delta is a no-op, and the result equals a batch rebuild over B∪delta."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    a = spark.createDataFrame(
+        [
+            (1, "jonathan smithers acme corporation"),
+            (2, "margaret chalmers globex riverside"),
+            (3, "wilhelmina vanterpool initech headquarters"),
+        ],
+        "doc_id long, text string",
+    )
+    b0 = spark.createDataFrame(
+        [
+            (101, "jonathon smithers acme corporatian"),  # typo twin of 1
+            (102, "margaret chalmers globex riverside"),   # exact twin of 2
+        ],
+        "doc_id long, text string",
+    )
+    cfg = linkage.LinkConfig(min_token_matches=2)
+    standing = linkage.link_tables(a, b0, cfg).select(
+        "a_id", "b_id", "n_matched", "score"
+    )
+    delta = spark.createDataFrame(
+        [
+            (201, "jonathan smithers acme corporation"),   # exact: beats 101
+            (202, "margaret chalmers globex riverside"),   # ties 102: keep
+            (203, "wilhelmina vanterpool initech offices"),  # new for 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["a_id"]: r for r in
+           linkage.update_assignments(standing, a, delta, cfg).collect()}
+    assert out[1]["b_id"] == 201 and out[1]["changed"]          # displaced
+    assert out[2]["b_id"] == 102 and not out[2]["changed"]      # tie keeps
+    assert out[3]["b_id"] == 203 and out[3]["changed"]          # created
+    # idempotent: replaying the same delta changes nothing
+    new_standing = spark.createDataFrame(
+        [(r["a_id"], r["b_id"], r["n_matched"], r["score"])
+         for r in out.values()],
+        "a_id long, b_id long, n_matched long, score double",
+    )
+    replay = linkage.update_assignments(new_standing, a, delta, cfg).collect()
+    assert all(not r["changed"] for r in replay)
+    assert {r["a_id"]: r["b_id"] for r in replay} == {
+        k: v["b_id"] for k, v in out.items()
+    }
+    # batch-rebuild equivalence on assignments (where ties coincide)
+    rebuilt = {
+        r["a_id"]: r["b_id"]
+        for r in linkage.link_tables(a, b0.unionByName(delta), cfg).collect()
+    }
+    # a=2 ties between 102 and 202: batch picks min b_id (102), incremental
+    # keeps incumbent 102 — identical here by construction
+    assert rebuilt == {k: v["b_id"] for k, v in out.items()}

@@ -596,3 +596,63 @@ def test_quantize_embeddings_roundtrip_bound(spark):
         assert abs(s - s_true) < 1e-9  # output scale = rounded display copy
         for orig, qi in zip(vec, q):
             assert abs(qi * s_true - orig) <= s_true / 2 + 1e-9
+
+
+def test_hash_split_partition_and_determinism(spark):
+    """Every row gets exactly one label; proportions track the weights;
+    assignment is content-hash-stable (identical across calls and
+    independent of other rows being present)."""
+    docs = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(rows) == 4000
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 4000 - 0.8) < 0.03
+    assert abs(c["val"] / 4000 - 0.1) < 0.02
+    assert abs(c["test"] / 4000 - 0.1) < 0.02
+    # append-stability: the same ids keep their labels inside a superset
+    sup = sampling.hash_split(
+        spark.range(0, 8000).withColumnRenamed("id", "doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    sup_rows = {r["doc_id"]: r["split"] for r in sup.collect()}
+    assert all(sup_rows[i] == rows[i] for i in rows)
+
+
+def test_hash_split_validation(spark):
+    docs = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, {})
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, {"a": 0.0})
+    # single label: everything lands there, no when-chain needed
+    assert {
+        r["split"] for r in sampling.hash_split(docs, {"all": 2.0}).collect()
+    } == {"all"}
+
+
+def test_modality_stats(spark):
+    from liblevenshtein_rust_spark.operators import multimodal
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        ("a", [span("text", "hello", "", 0), span("media", "", "m1", 1),
+               span("text", "worlds", "", 2)]),
+        ("b", [span("text", "only", "", 0)]),
+        ("c", [span("media", "", "m2", 0), span("media", "", "m3", 1)]),
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    docs = spark.createDataFrame(rows, schema)
+    got = {r["doc_id"]: r for r in multimodal.modality_stats(docs).collect()}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["n_spans"], a["n_text"], a["n_media"]) == (3, 2, 1)
+    assert abs(a["media_frac"] - round(1 / 3, 6)) < 1e-9
+    assert a["first_media_offset"] == 1 and a["text_chars"] == 11
+    assert (b["n_media"], b["first_media_offset"], b["text_chars"]) == (0, None, 4)
+    assert (c["n_text"], c["media_frac"], c["text_chars"]) == (0, 1.0, 0)
