@@ -151,6 +151,128 @@ def q_fuzzy_query_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query", "term", F.col("distance").cast("int").alias("distance"))
 
 
+def q_stream_match_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fuzzy match (streaming/match.py) replayed to completion:
+    the SAME probe set as fuzzy_query_bucketed arrives as a file-drop
+    stream split over two files with maxFilesPerTrigger=1 (two real
+    micro-batches through foreachBatch + checkpoint + idempotent
+    per-batch partition overwrite), matched against the prepared bucketed
+    index, availableNow-terminated, read back from the sink.  The oracle
+    is the IDENTICAL batch SQL as fuzzy_query_bucketed — value-equality
+    is the exactly-once / stream≡batch evidence the round-2 verdict
+    listed as the missing streaming oracle row."""
+    import os
+    import tempfile
+
+    from liblevenshtein_rust_spark.sources import bucketed
+    from liblevenshtein_rust_spark.streaming import match as smatch
+
+    tokens = _doc_tokens(spark, sf_dir)
+    idx_path = tempfile.mkdtemp(prefix="stream_idx_")
+    bucketed.write_bucketed_index(
+        tokens, "spark_entry_stream_idx", n_buckets=8, path=idx_path
+    )
+    probes = sorted(r["query"] for r in _probes_df(spark).collect())
+    pdir = tempfile.mkdtemp(prefix="stream_probes_")
+    half = max(len(probes) // 2, 1)
+    with open(os.path.join(pdir, "a.txt"), "w") as f:
+        f.write("\n".join(probes[:half]) + "\n")
+    with open(os.path.join(pdir, "b.txt"), "w") as f:
+        f.write("\n".join(probes[half:]) + "\n")
+    out_path = tempfile.mkdtemp(prefix="stream_match_out_")
+    ck = tempfile.mkdtemp(prefix="stream_match_ck_")
+    stream = smatch.stream_probes_from_files(
+        spark, pdir, max_files_per_trigger=1
+    )
+    q = smatch.run_stream_fuzzy_match(
+        stream,
+        "spark_entry_stream_idx",
+        out_path,
+        ck,
+        max_distance=2,
+        variant="standard",
+    )
+    q.awaitTermination()
+    # materialize the (tiny, probe-bounded) sink and clean every temp dir —
+    # the harnesses run each query repeatedly and leaked sinks fill /tmp
+    import shutil
+
+    rows = spark.read.parquet(out_path).select(
+        "query", "term", F.col("distance").cast("int").alias("distance")
+    ).collect()
+    spark.sql("DROP TABLE IF EXISTS spark_entry_stream_idx")
+    for d in (pdir, out_path, ck, idx_path):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, "query string, term string, distance int")
+
+
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming ingest dedup (streaming/dedup.py)
+    replayed to completion: 40 planted docs arrive TWICE each — once per
+    file, two micro-batches via maxFilesPerTrigger=1 — inside one
+    watermark horizon, through the real checkpointed
+    dropDuplicatesWithinWatermark sink.  Exactly one survivor row per
+    distinct text must land; copies are full-row identical so the
+    survivor set is deterministic.  The oracle is the batch equivalent:
+    DISTINCT over the planted set with the same md5(normalized text)
+    digest."""
+    import json as _json
+    import os
+    import tempfile
+
+    from liblevenshtein_rust_spark.streaming import dedup as sdedup
+
+    docs = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 40
+    )
+    rows = [
+        {
+            "doc_id": r["doc_id"],
+            "text": f"Stream Doc {r['doc_id']}  body text number {r['doc_id'] % 7}",
+            "event_time": "2026-01-01T00:00:00",
+        }
+        for r in docs.collect()
+    ]
+    pdir = tempfile.mkdtemp(prefix="stream_dedup_in_")
+    # every row appears in BOTH files: cross-batch duplicates by design
+    for name in ("a.json", "b.json"):
+        with open(os.path.join(pdir, name), "w") as f:
+            for row in rows:
+                f.write(_json.dumps(row) + "\n")
+    out_path = tempfile.mkdtemp(prefix="stream_dedup_out_")
+    ck = tempfile.mkdtemp(prefix="stream_dedup_ck_")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, event_time timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(pdir)
+    )
+    q = sdedup.run_stream_dedup(stream, out_path, ck)
+    q.awaitTermination()
+    import shutil
+
+    survivors = spark.read.parquet(out_path).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text_hash"
+    ).collect()
+    for d in (pdir, out_path, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(survivors, "doc_id bigint, text_hash string")
+
+
+def _stream_dedup_replay_sql() -> str:
+    """Oracle: the planted set is derived from documents (doc_id < 40) and
+    duplicated; DISTINCT over (doc_id, digest) is the exact survivor set.
+    The digest replays dedup.normalize_text: lower → strip non-alnum (and
+    non-space) → squeeze whitespace → trim."""
+    return """
+        SELECT DISTINCT doc_id::BIGINT AS doc_id,
+               md5(trim(regexp_replace(regexp_replace(
+                   lower('Stream Doc ' || doc_id::VARCHAR ||
+                         '  body text number ' || (doc_id % 7)::VARCHAR),
+                   '[^a-z0-9 ]+', ' ', 'g'), '\\s+', ' ', 'g'))) AS text_hash
+        FROM documents WHERE doc_id < 40
+    """
+
+
 def q_fuzzy_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_ordered + top-k (distance ASC, term ASC), k=3."""
     return matching.fuzzy_query_ordered(
@@ -1866,6 +1988,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_recall_sweep": q_ivf_recall_sweep,
     "hash_split": q_hash_split,
     "modality_stats": q_modality_stats,
+    "stream_match_replay": q_stream_match_replay,
+    "stream_dedup_replay": q_stream_dedup_replay,
     # --- round-2 additions the round-2 driver record never checked -------
     "link_tables": q_link_tables,
     "link_tables_mutual": q_link_tables_mutual,
@@ -2392,6 +2516,10 @@ def oracle_sql() -> dict[str, str]:
     out["mitton_blocked_recall"] = _mitton_mini_sql()
     out["hash_split"] = _hash_split_sql()
     out["modality_stats"] = _MODALITY_STATS_SQL
+    # the stream replay's oracle IS the batch SQL: same probes, same
+    # dictionary, same kernel — value-equality proves stream ≡ batch
+    out["stream_match_replay"] = out["fuzzy_query_bucketed"]
+    out["stream_dedup_replay"] = _stream_dedup_replay_sql()
     out["ann_recall"] = f"""
         WITH exact AS (SELECT query_id, vec_id FROM ({out["ann_topk_bruteforce"]})),
              ivf AS (SELECT query_id, vec_id FROM ({_ivf_topk_sql(nprobe=12)}))

@@ -285,8 +285,11 @@ def gen_scale_input_worker() -> None:
     SAME parquet — the north rule's same-input requirement)."""
     from pyspark.sql import functions as F
 
-    if os.path.isdir(SCALE_INPUT) and any(
-        f.endswith(".parquet") for f in os.listdir(SCALE_INPUT)
+    # trust the cache only with its _SUCCESS marker: a deadline kill mid
+    # job-commit leaves partial part files, and measuring fewer than
+    # SCALE_PAIRS pairs would silently overstate pairs_per_sec
+    if os.path.isdir(SCALE_INPUT) and os.path.exists(
+        os.path.join(SCALE_INPUT, "_SUCCESS")
     ):
         print(json.dumps({"ok": True, "cached": True}))
         return
@@ -579,9 +582,22 @@ def main() -> None:
             if result.get("queries") and result.get("er") else None
         )
         result["unit"] = "sec"
+        # smoke guard: any shrunken knob (or non-default SF dir) must not
+        # clobber the committed full-run BENCH_DETAIL.json
+        smoke = any(
+            os.environ.get(k)
+            for k in (
+                "SPARK_GRAFT_BENCH_SCALE_PAIRS",
+                "SPARK_GRAFT_BENCH_SCALE_DOCS",
+                "SPARK_GRAFT_BENCH_SCALE_REPS",
+                "SPARK_GRAFT_BENCH_SCALING",
+                "SPARK_GRAFT_BENCH_BUDGET_S",
+                "SPARK_GRAFT_BENCH_SCALE_ER",
+            )
+        ) or "sf0.1" not in SF_DIR
         detail_name = os.environ.get(
             "SPARK_GRAFT_BENCH_DETAIL_NAME",
-            "BENCH_DETAIL.json" if "sf0.1" in SF_DIR else "BENCH_DETAIL_smoke.json",
+            "BENCH_DETAIL_smoke.json" if smoke else "BENCH_DETAIL.json",
         )
         try:
             (Path(__file__).resolve().parent / detail_name).write_text(
@@ -621,8 +637,9 @@ def main() -> None:
             tiny, low = max(CPUS // 16, 1), max(CPUS // 4, 1)
             sizes = sorted({tiny, low, CPUS})
             # headline pair (tiny, low) first: if the budget dies early the
-            # compute-rich N->4N comparison is already on record
-            order = [tiny, low, CPUS]
+            # compute-rich N->4N comparison is already on record; dedup
+            # preserves that order (at CPUS=4, tiny == low == 1)
+            order = list(dict.fromkeys([tiny, low, CPUS]))
             reserve = _RESERVE_MAIN if not SCALE_ER else 0.0
             for i, cores in enumerate(order):
                 later = sum(_score_est(c) for c in order[i + 1:])

@@ -2,8 +2,9 @@
 for spark-submit.
 
 Reference command set (``/root/reference/src/cli/args.rs:25-237``):
-Query, Info, Convert, Insert, Delete, Minimize (+ REPL/Settings, which are
-interactive and out of scope for a batch driver).  Mapping:
+Query, Info, Convert, Insert, Delete, Minimize, Settings/Config (+ REPL,
+whose interactive loop is answered at scale by ``streaming/match.py``).
+Mapping:
 
     query     fuzzy query a dictionary table        (Transducer::query_ordered)
     info      row count + schema + key stats        (Commands::Info)
@@ -12,6 +13,10 @@ interactive and out of scope for a batch driver).  Mapping:
     delete    remove terms                          (Delete)
     er        run the full entity-resolution pipeline on an interleaved
               docs table (the pipeline this engine exists for)
+    config    persisted query defaults (show/set/unset/clear) — the
+              Settings/Config analog; precedence flag > profile > builtin
+    lineage   print a run_dir's stage DAG (rows, partitions, walls,
+              metrics, upstream edges) from its checkpoint manifests
 
 Launch:  spark-submit --py-files liblevenshtein_rust_spark.zip \
              -m liblevenshtein_rust_spark.cli query --dict terms.parquet \
@@ -46,6 +51,7 @@ def cmd_query(spark, args) -> None:
 
     from .operators import matching
 
+    _resolve_query_defaults(args)
     probes = spark.createDataFrame([(t,) for t in args.term], "query string")
     dictionary = _read(spark, args.dict, args.format, args.term_col).select(
         F.col(args.term_col).alias("term")
@@ -200,16 +206,29 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     q = sub.add_parser("query")
-    q.add_argument("--dict", required=True)
+    # profile-able args default to None; resolved against the config
+    # profile (then the builtin default) in main() — see cmd_config
+    q.add_argument("--dict", default=None)
     q.add_argument("--term", action="append", required=True)
-    q.add_argument("--max-distance", type=int, default=2)
-    q.add_argument("--algorithm", default="standard",
+    q.add_argument("--max-distance", type=int, default=None)
+    q.add_argument("--algorithm", default=None,
                    choices=["standard", "transposition", "merge_and_split"])
     q.add_argument("--prefix", action="store_true")
     q.add_argument("--show-distances", action="store_true")
     q.add_argument("--limit", type=int, default=None)
-    q.add_argument("--format", default="parquet")
-    q.add_argument("--term-col", default="term")
+    q.add_argument("--format", default=None)
+    q.add_argument("--term-col", default=None)
+
+    ln = sub.add_parser("lineage")
+    ln.add_argument("--run-dir", required=True)
+
+    cf = sub.add_parser("config")
+    cf.add_argument("action", choices=["show", "set", "unset", "clear"])
+    cf.add_argument("key", nargs="?", default=None)
+    cf.add_argument("value", nargs="?", default=None)
+    cf.add_argument("--profile", default=None,
+                    help="profile path (default $LIBLEVENSHTEIN_SPARK_CONFIG "
+                         "or ~/.liblevenshtein_spark.json)")
 
     i = sub.add_parser("info")
     i.add_argument("--dict", required=True)
@@ -270,6 +289,152 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+# -- config profile (the reference's Settings/Config analog, args.rs:25-237:
+# persisted query defaults so interactive use doesn't repeat flags) --------
+
+_PROFILE_KEYS = {
+    "dict": str,
+    "algorithm": str,
+    "max_distance": int,
+    "format": str,
+    "term_col": str,
+    "limit": int,
+}
+_QUERY_BUILTINS = {
+    "dict": None,
+    "algorithm": "standard",
+    "max_distance": 2,
+    "format": "parquet",
+    "term_col": "term",
+    "limit": None,
+}
+
+
+def _profile_path(args) -> str:
+    import os
+
+    return (
+        getattr(args, "profile", None)
+        or os.environ.get("LIBLEVENSHTEIN_SPARK_CONFIG")
+        or os.path.expanduser("~/.liblevenshtein_spark.json")
+    )
+
+
+def _load_profile(path: str) -> dict:
+    import os
+
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return data if isinstance(data, dict) else {}
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
+def cmd_lineage(spark, args) -> None:  # spark unused: reads manifests only
+    """Print a run's stage DAG from its checkpoint manifests — the
+    north-rule lineage surface: per-stage rows, output partitions (each
+    parquet part maps 1:1 to the task that produced it), wall, metrics,
+    upstream edges, and config fingerprint, in dependency order."""
+    import os
+
+    run_dir = args.run_dir
+    stages: dict[str, dict] = {}
+    if os.path.isdir(run_dir):
+        for s in sorted(os.listdir(run_dir)):
+            mpath = os.path.join(run_dir, s, "manifest.json")
+            if os.path.exists(mpath):
+                with open(mpath) as f:
+                    stages[s] = json.load(f)
+    # topological order over the manifest `inputs` edges (cycles impossible
+    # by construction — a stage's inputs are earlier checkpoints)
+    order: list[str] = []
+    seen: set[str] = set()
+
+    def visit(name: str) -> None:
+        if name in seen or name not in stages:
+            return
+        seen.add(name)
+        for up in stages[name].get("inputs", []):
+            visit(up)
+        order.append(name)
+
+    for name in stages:
+        visit(name)
+    out = {
+        "run_dir": run_dir,
+        "stages": [
+            {
+                "stage": s,
+                "rows": stages[s].get("rows"),
+                "partitions": stages[s].get("partitions"),
+                "wall_s": stages[s].get("wall_s"),
+                "inputs": stages[s].get("inputs", []),
+                "fingerprint": stages[s].get("fingerprint"),
+                "metrics": stages[s].get("metrics", {}),
+            }
+            for s in order
+        ],
+    }
+    print(json.dumps(out, indent=1))
+
+
+def cmd_config(spark, args) -> None:  # spark unused: config is driver-local
+    import os
+
+    path = _profile_path(args)
+    prof = _load_profile(path)
+    if args.action == "show":
+        print(json.dumps({"profile": path, "settings": prof}))
+        return
+    if args.action == "clear":
+        if os.path.exists(path):
+            os.remove(path)
+        print(json.dumps({"profile": path, "settings": {}}))
+        return
+    if args.key is None:
+        raise SystemExit(f"config {args.action} requires a key")
+    key = args.key.replace("-", "_")
+    if key not in _PROFILE_KEYS:
+        raise SystemExit(
+            f"unknown config key {args.key!r}; valid: {sorted(_PROFILE_KEYS)}"
+        )
+    if args.action == "unset":
+        prof.pop(key, None)
+    else:  # set
+        if args.value is None:
+            raise SystemExit("config set requires a value")
+        if key == "algorithm" and args.value not in (
+            "standard", "transposition", "merge_and_split"
+        ):
+            raise SystemExit(f"invalid algorithm {args.value!r}")
+        try:
+            prof[key] = _PROFILE_KEYS[key](args.value)
+        except ValueError as exc:
+            raise SystemExit(f"invalid value for {args.key}: {exc}") from exc
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(prof, f, indent=1)
+    os.replace(tmp, path)
+    print(json.dumps({"profile": path, "settings": prof}))
+
+
+def _resolve_query_defaults(args) -> None:
+    """Fill query args left unset on the command line from the config
+    profile, then from the builtin defaults (flag > profile > builtin —
+    the reference's Settings precedence)."""
+    prof = _load_profile(_profile_path(args))
+    for key, builtin in _QUERY_BUILTINS.items():
+        if getattr(args, key, None) is None:
+            setattr(args, key, prof.get(key, builtin))
+    if args.dict is None:
+        raise SystemExit(
+            "--dict is required (flag or `config set dict <path>`)"
+        )
+
+
 COMMANDS = {
     "query": cmd_query,
     "info": cmd_info,
@@ -280,11 +445,19 @@ COMMANDS = {
     "minimize": cmd_minimize,
     "er": cmd_er,
     "curate": cmd_curate,
+    "config": cmd_config,
+    "lineage": cmd_lineage,
 }
+
+# commands that never need a SparkSession (driver-local file edits)
+_NO_SPARK = {"config", "lineage"}
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cmd in _NO_SPARK:
+        COMMANDS[args.cmd](None, args)
+        return 0
     from .session import get_spark
 
     spark = get_spark("liblevenshtein-spark-cli", cores=args.cores)

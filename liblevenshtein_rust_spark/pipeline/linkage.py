@@ -141,6 +141,55 @@ def link_tables(
     the candidate-pair table, which is orders smaller than the evidence.
     """
     cfg = cfg or LinkConfig()
+    agg = score_pairs(a_docs, b_docs, cfg)
+    if cfg.min_score:
+        agg = agg.where(F.col("score") >= cfg.min_score)
+    wa = Window.partitionBy("a_id").orderBy(
+        F.col("score").desc(), F.col("n_matched").desc(), F.col("b_id")
+    )
+    out = agg.withColumn("rank", F.row_number().over(wa))
+    if cfg.mutual:
+        wb = Window.partitionBy("b_id").orderBy(
+            F.col("score").desc(), F.col("n_matched").desc(), F.col("a_id")
+        )
+        out = (
+            out.withColumn("_rb", F.row_number().over(wb))
+            .where((F.col("rank") == 1) & (F.col("_rb") == 1))
+            .drop("_rb")
+        )
+    else:
+        out = out.where(F.col("rank") == 1)
+    return out
+
+
+def best_per_a(candidates: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
+    """Deterministic best-per-A reduction of a scored candidate-pair table
+    — the shared ranking rule (score DESC, n_matched DESC, b_id ASC) used
+    by both the batch assignment and the incremental merge."""
+    cfg = cfg or LinkConfig()
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("score").desc(), F.col("n_matched").desc(), F.col("b_id")
+    )
+    out = candidates
+    if cfg.min_score:
+        out = out.where(F.col("score") >= cfg.min_score)
+    return (
+        out.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .drop("_r")
+    )
+
+
+def score_pairs(
+    a_docs: DataFrame, b_docs: DataFrame, cfg: LinkConfig | None = None
+) -> DataFrame:
+    """All scored (a_id, b_id, n_matched, score) candidate pairs above the
+    evidence threshold — the single scoring body shared by the batch
+    assignment (``link_tables``) and the incremental merge
+    (``update_assignments``), so the two paths can never score
+    differently.  Includes the phonetic evidence channel when
+    ``cfg.use_phonetic`` is set."""
+    cfg = cfg or LinkConfig()
     ta = _tokens(a_docs, cfg)
     tb = _tokens(b_docs, cfg)
     va = ta.select("token").distinct()
@@ -195,83 +244,6 @@ def link_tables(
             "tok_b",
         )
     )
-    agg = (
-        ev.groupBy("a_id", "b_id")
-        .agg(
-            F.countDistinct("pair_id").alias("n_matched"),
-            F.round(F.sum("w"), 6).alias("score"),
-        )
-        .where(F.col("n_matched") >= cfg.min_token_matches)
-    )
-    if cfg.min_score:
-        agg = agg.where(F.col("score") >= cfg.min_score)
-    wa = Window.partitionBy("a_id").orderBy(
-        F.col("score").desc(), F.col("n_matched").desc(), F.col("b_id")
-    )
-    out = agg.withColumn("rank", F.row_number().over(wa))
-    if cfg.mutual:
-        wb = Window.partitionBy("b_id").orderBy(
-            F.col("score").desc(), F.col("n_matched").desc(), F.col("a_id")
-        )
-        out = (
-            out.withColumn("_rb", F.row_number().over(wb))
-            .where((F.col("rank") == 1) & (F.col("_rb") == 1))
-            .drop("_rb")
-        )
-    else:
-        out = out.where(F.col("rank") == 1)
-    return out
-
-
-def best_per_a(candidates: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
-    """Deterministic best-per-A reduction of a scored candidate-pair table
-    — the shared ranking rule (score DESC, n_matched DESC, b_id ASC) used
-    by both the batch assignment and the incremental merge."""
-    cfg = cfg or LinkConfig()
-    w = Window.partitionBy("a_id").orderBy(
-        F.col("score").desc(), F.col("n_matched").desc(), F.col("b_id")
-    )
-    out = candidates
-    if cfg.min_score:
-        out = out.where(F.col("score") >= cfg.min_score)
-    return (
-        out.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .drop("_r")
-    )
-
-
-def score_pairs(
-    a_docs: DataFrame, b_docs: DataFrame, cfg: LinkConfig | None = None
-) -> DataFrame:
-    """All scored (a_id, b_id, n_matched, score) candidate pairs above the
-    evidence threshold — ``link_tables`` without the final assignment
-    (the reusable half the incremental path needs)."""
-    cfg = cfg or LinkConfig()
-    ta = _tokens(a_docs, cfg)
-    tb = _tokens(b_docs, cfg)
-    va = ta.select("token").distinct()
-    vb = tb.select("token").distinct()
-    tm = cross_vocab_matches(va, vb, cfg).select(
-        "tok_a",
-        "tok_b",
-        (
-            1.0 - F.col("distance") / F.greatest(F.length("tok_a"), F.length("tok_b"))
-        ).alias("w"),
-    )
-    tm = tm.select(
-        "tok_a", "tok_b", F.xxhash64("tok_a", "tok_b").alias("pair_id"), "w"
-    )
-    ev = (
-        ta.select(F.col("doc_id").alias("a_id"), F.col("token").alias("tok_a"))
-        .join(tm.hint("shuffle_hash"), "tok_a")
-        .select("a_id", "tok_b", "pair_id", "w")
-        .join(
-            tb.select(F.col("doc_id").alias("b_id"), F.col("token").alias("tok_b"))
-            .hint("shuffle_hash"),
-            "tok_b",
-        )
-    )
     return (
         ev.groupBy("a_id", "b_id")
         .agg(
@@ -310,8 +282,19 @@ def update_assignments(
     standing corpus); the merge is one keyed join on a_id between the
     standing table and the delta's best-per-A reduction.  The standing
     table is never shuffled beyond that single a_id-keyed join.
+
+    ``cfg.mutual`` is NOT supported incrementally: a new B record winning
+    two A records at once would need a cross-A resolution pass over the
+    standing table, which is a rebuild, not a delta merge — raise rather
+    than silently emit a many-to-one table that claims to be one-to-one.
     """
     cfg = cfg or LinkConfig()
+    if cfg.mutual:
+        raise ValueError(
+            "update_assignments does not support cfg.mutual: one-to-one "
+            "assignment needs cross-A resolution — rebuild with "
+            "link_tables(a, b_union, cfg) instead"
+        )
     delta_best = best_per_a(score_pairs(a_docs, b_delta, cfg), cfg)
     s = standing.select(
         "a_id",

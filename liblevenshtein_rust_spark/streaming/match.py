@@ -26,12 +26,20 @@ from pyspark.sql import functions as F
 
 
 def stream_probes_from_files(
-    spark: SparkSession, path: str, probe_col: str = "query"
+    spark: SparkSession,
+    path: str,
+    probe_col: str = "query",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-drop probe source: one probe term per line."""
+    """File-drop probe source: one probe term per line.
+
+    ``max_files_per_trigger=1`` forces one micro-batch per file — the knob
+    the replay harness uses to prove multi-batch ≡ batch semantics."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.format("text")
-        .load(path)
+        reader.load(path)
         .select(F.trim(F.col("value")).alias(probe_col))
         .where(F.length(probe_col) > 0)
     )

@@ -299,3 +299,80 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert set(ledger["stages"]) == {"docs", "gate", "lines", "near_dup", "corpus"}
     assert ledger["stages"]["docs"]["rows"] == 6
     assert spark.read.parquet(out).count() == ledger["stages"]["corpus"]["rows"] == 6
+
+
+def test_cli_config_profile(tmp_path, capsys):
+    """config show/set/unset/clear round-trip (no Spark — driver-local),
+    plus flag > profile > builtin precedence in query arg resolution."""
+    import json as _json
+
+    from liblevenshtein_rust_spark import cli
+
+    prof = str(tmp_path / "prof.json")
+
+    def run(*argv):
+        cli.main(["config", *argv, "--profile", prof])
+        return _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert run("show")["settings"] == {}
+    assert run("set", "max_distance", "3")["settings"] == {"max_distance": 3}
+    out = run("set", "algorithm", "transposition")
+    assert out["settings"] == {"max_distance": 3, "algorithm": "transposition"}
+    assert run("unset", "max_distance")["settings"] == {"algorithm": "transposition"}
+    assert run("clear")["settings"] == {}
+    # invalid key / algorithm / value all exit nonzero
+    import pytest as _pytest
+
+    for argv in (["set", "bogus", "1"], ["set", "algorithm", "nope"],
+                 ["set", "max_distance", "abc"], ["set", "dict"]):
+        with _pytest.raises(SystemExit):
+            cli.main(["config", *argv, "--profile", prof])
+    capsys.readouterr()
+
+    # precedence: builtin when profile empty; profile overrides builtin;
+    # explicit flag overrides profile
+    cli.main(["config", "set", "max_distance", "1", "--profile", prof])
+    cli.main(["config", "set", "dict", "/some/dict.parquet", "--profile", prof])
+    capsys.readouterr()
+    import os
+
+    os.environ["LIBLEVENSHTEIN_SPARK_CONFIG"] = prof
+    try:
+        p = cli.build_parser()
+        a1 = p.parse_args(["query", "--term", "x"])
+        cli._resolve_query_defaults(a1)
+        assert a1.max_distance == 1 and a1.dict == "/some/dict.parquet"
+        assert a1.algorithm == "standard" and a1.format == "parquet"
+        a2 = p.parse_args(["query", "--term", "x", "--max-distance", "2"])
+        cli._resolve_query_defaults(a2)
+        assert a2.max_distance == 2
+    finally:
+        del os.environ["LIBLEVENSHTEIN_SPARK_CONFIG"]
+
+
+def test_cli_lineage(tmp_path, capsys):
+    """lineage prints the manifest DAG in dependency order (no Spark)."""
+    import json as _json
+    import os
+
+    run = tmp_path / "run"
+    manifests = {
+        "entities": {"rows": 10, "partitions": 2, "wall_s": 1.5,
+                     "inputs": ["match_edges"], "fingerprint": "f1",
+                     "metrics": {}},
+        "match_edges": {"rows": 50, "partitions": 4, "wall_s": 2.0,
+                        "inputs": ["tokens"], "fingerprint": "f1",
+                        "metrics": {"kernel_pairs": 7}},
+        "tokens": {"rows": 100, "partitions": 4, "wall_s": 0.5,
+                   "inputs": [], "fingerprint": "f1", "metrics": {}},
+    }
+    for name, man in manifests.items():
+        os.makedirs(run / name)
+        (run / name / "manifest.json").write_text(_json.dumps(man))
+    cli.main(["lineage", "--run-dir", str(run)])
+    out = _json.loads(capsys.readouterr().out)
+    order = [s["stage"] for s in out["stages"]]
+    assert order.index("tokens") < order.index("match_edges") < order.index("entities")
+    edges = {s["stage"]: s["inputs"] for s in out["stages"]}
+    assert edges["entities"] == ["match_edges"]
+    assert out["stages"][1]["metrics"] == {"kernel_pairs": 7}

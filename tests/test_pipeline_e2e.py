@@ -299,3 +299,21 @@ def test_update_assignments_incremental(spark):
     # a=2 ties between 102 and 202: batch picks min b_id (102), incremental
     # keeps incumbent 102 — identical here by construction
     assert rebuilt == {k: v["b_id"] for k, v in out.items()}
+
+
+def test_update_assignments_rejects_mutual(spark):
+    """cfg.mutual needs cross-A resolution (a rebuild) — the incremental
+    path must refuse rather than silently emit many-to-one."""
+    import pytest as _pytest
+
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    a = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    d = spark.createDataFrame([(9, "alpha beta")], "doc_id long, text string")
+    standing = spark.createDataFrame(
+        [], "a_id long, b_id long, n_matched long, score double"
+    )
+    with _pytest.raises(ValueError, match="mutual"):
+        linkage.update_assignments(
+            standing, a, d, linkage.LinkConfig(mutual=True)
+        )
