@@ -1832,6 +1832,109 @@ _MODALITY_STATS_SQL = """
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (text.canonical_url + url_dedup): four
+    cosmetic variants per planted base URL — bare, trailing slash,
+    tracking-params-only query, UPPERCASE scheme+host + fragment — must
+    collapse to ONE canonical group of 4 with the min-id survivor; a real
+    (non-tracking) param variant stays a separate group.  The oracle
+    replays every rule (fragment, case, default port, tracking filter
+    with order-preserving survivors, trailing slash) in SQL."""
+    from liblevenshtein_rust_spark.operators import text as _text
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    grp = F.floor(F.col("doc_id") / 4).cast("bigint")
+    stem = F.concat(
+        F.lit("ex"), (grp % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        F.substring(F.md5(grp.cast("string")), 1, 6),
+    )
+    # the %4==3 variant uppercases scheme+HOST only (paths are
+    # case-sensitive — uppercasing the path would be a different resource)
+    host = F.concat(F.lit("EX"), (grp % 7).cast("string"),
+                    F.lit(".EXAMPLE.COM"))
+    path = F.concat(
+        F.lit("/p/"), F.substring(F.md5(grp.cast("string")), 1, 6)
+    )
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://"), stem))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("https://"), stem, F.lit("/")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), stem, F.lit("?utm_source=x&fbclid=abc")),
+        )
+        .otherwise(F.concat(F.lit("HTTPS://"), host, path, F.lit("#frag")))
+    )
+    urls = base.select(F.col("doc_id").alias("url_id"), url.alias("url"))
+    out = _text.url_dedup(urls)
+    return out.select(
+        "canon_url",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("min_id").cast("bigint").alias("min_id"),
+    )
+
+
+_URL_DEDUP_SQL = """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+    stems AS (
+        SELECT doc_id,
+               'ex' || ((doc_id // 4) % 7)::VARCHAR || '.example.com/p/' ||
+                   substr(md5((doc_id // 4)::VARCHAR), 1, 6) AS stem,
+               'EX' || ((doc_id // 4) % 7)::VARCHAR || '.EXAMPLE.COM' || '/p/' ||
+                   substr(md5((doc_id // 4)::VARCHAR), 1, 6) AS upper_host
+        FROM ids
+    ),
+    urls AS (
+        SELECT doc_id AS url_id,
+               CASE doc_id % 4
+                    WHEN 0 THEN 'https://' || stem
+                    WHEN 1 THEN 'https://' || stem || '/'
+                    WHEN 2 THEN 'https://' || stem || '?utm_source=x&fbclid=abc'
+                    ELSE 'HTTPS://' || upper_host || '#frag'
+               END AS url
+        FROM stems
+    ),
+    canon AS (
+        SELECT url_id,
+               -- fragment off
+               regexp_replace(url, '#.*$', '') AS u
+        FROM urls
+    ),
+    parts AS (
+        SELECT url_id,
+               lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+               regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rest,
+               regexp_extract(u, '\\?([^#]*)', 1) AS query
+        FROM canon
+    ),
+    built AS (
+        SELECT url_id,
+               scheme || '://' ||
+               CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                         THEN regexp_replace(hostport, ':80$', '')
+                    WHEN scheme = 'https' AND hostport LIKE '%:443'
+                         THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END ||
+               CASE WHEN regexp_replace(rest, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(rest, '/+$', '') END ||
+               CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon_url
+        FROM (
+            SELECT *,
+                   array_to_string(list_filter(string_split(query, '&'),
+                       p -> len(p) > 0 AND NOT regexp_matches(p,
+                           '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)=')),
+                       '&') AS kept
+            FROM parts
+        )
+    )
+    SELECT canon_url, count(*)::BIGINT AS n_urls, min(url_id)::BIGINT AS min_id
+    FROM built GROUP BY canon_url
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card (text.corpus_stats): gate signals
     aggregated in one scan + one low-cardinality groupBy.  The oracle
@@ -1990,6 +2093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "modality_stats": q_modality_stats,
     "stream_match_replay": q_stream_match_replay,
     "stream_dedup_replay": q_stream_dedup_replay,
+    "url_dedup": q_url_dedup,
     # --- round-2 additions the round-2 driver record never checked -------
     "link_tables": q_link_tables,
     "link_tables_mutual": q_link_tables_mutual,
@@ -2520,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
     # dictionary, same kernel — value-equality proves stream ≡ batch
     out["stream_match_replay"] = out["fuzzy_query_bucketed"]
     out["stream_dedup_replay"] = _stream_dedup_replay_sql()
+    out["url_dedup"] = _URL_DEDUP_SQL
     out["ann_recall"] = f"""
         WITH exact AS (SELECT query_id, vec_id FROM ({out["ann_topk_bruteforce"]})),
              ivf AS (SELECT query_id, vec_id FROM ({_ivf_topk_sql(nprobe=12)}))

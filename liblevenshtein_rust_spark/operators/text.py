@@ -637,3 +637,70 @@ def corpus_stats(
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
         F.countDistinct("lang_pred").alias("n_langs"),
     )
+
+
+# -- URL canonicalization / dedup ------------------------------------------
+
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)="
+
+
+def canonical_url(col):
+    """Training-corpus URL canonicalization — the identity under which a
+    web-crawl dedups documents fetched through cosmetically different
+    URLs.  Rules (each a pure column expression, SQL-replayable):
+
+    - drop the fragment (``#...``),
+    - lowercase scheme and host,
+    - strip default ports (``http://…:80``, ``https://…:443``),
+    - drop tracking query params (utm_*, fbclid, gclid, msclkid, ref,
+      ref_src) while PRESERVING the order of the surviving params
+      (reordering would merge genuinely different resources whose servers
+      are order-sensitive; cosmetic-only is the conservative contract),
+    - collapse trailing slashes on a non-root path.
+
+    Scale: one regex/HOF projection per row, zero shuffle.
+    """
+    u = F.regexp_replace(col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+    rest = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(
+        F.regexp_replace(rest, r"/+$", "") == "", F.lit("/")
+    ).otherwise(F.regexp_replace(rest, r"/+$", ""))
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RE),
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.length(kept) > 0, F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    urls: DataFrame, url_col: str = "url", id_col: str = "url_id"
+) -> DataFrame:
+    """Group URLs by canonical form: (canon_url, n_urls, min_id) — one
+    shuffle on the canonical string; the min-id representative is the
+    deterministic survivor (the URL family's exact-dedup twin)."""
+    return (
+        urls.select(
+            F.col(id_col).alias("_id"), canonical_url(F.col(url_col)).alias("canon_url")
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("_id").alias("min_id"),
+        )
+    )

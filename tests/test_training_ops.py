@@ -656,3 +656,50 @@ def test_modality_stats(spark):
     assert a["first_media_offset"] == 1 and a["text_chars"] == 11
     assert (b["n_media"], b["first_media_offset"], b["text_chars"]) == (0, None, 4)
     assert (c["n_text"], c["media_frac"], c["text_chars"]) == (0, 1.0, 0)
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule on a controlled pair set: fragment,
+    scheme/host case, default ports (non-default kept), tracking params
+    (surviving order preserved), trailing slash, root path."""
+    cases = [
+        (1, "https://Ex.COM/a#sec", "https://ex.com/a"),
+        (2, "HTTP://ex.com:80/a", "http://ex.com/a"),
+        (3, "https://ex.com:443/a", "https://ex.com/a"),
+        (4, "https://ex.com:8443/a", "https://ex.com:8443/a"),
+        (5, "https://ex.com/a?utm_source=x&b=2&fbclid=z&a=1",
+            "https://ex.com/a?b=2&a=1"),   # survivor order preserved
+        (6, "https://ex.com/a/", "https://ex.com/a"),
+        (7, "https://ex.com/", "https://ex.com/"),
+        (8, "https://ex.com", "https://ex.com/"),
+        (9, "https://ex.com/a?utm_source=x", "https://ex.com/a"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in cases], "url_id long, url string"
+    )
+    got = {
+        r["url_id"]: r["canon"]
+        for r in df.select(
+            "url_id", text.canonical_url(F.col("url")).alias("canon")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_url_dedup_groups(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://ex.com/p"),
+            (2, "https://EX.com/p/"),
+            (3, "https://ex.com/p?utm_source=a"),
+            (4, "https://ex.com/p?id=7"),       # real param: separate group
+        ],
+        "url_id long, url string",
+    )
+    got = {r["canon_url"]: (r["n_urls"], r["min_id"])
+           for r in text.url_dedup(urls).collect()}
+    assert got == {
+        "https://ex.com/p": (3, 1),
+        "https://ex.com/p?id=7": (1, 4),
+    }
