@@ -1570,6 +1570,149 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_records_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted record linkage (linkage.link_records): name/city/
+    phone fields at weights 2/1/3 — a token match only counts within the
+    SAME field, and the field weight scales its evidence.  Fixture: B
+    twins (name typo, same city+phone, score ≈ 7.71) beat city+phone
+    decoys (score 4.0); for ids % 11 the twin is withheld and the decoy
+    (ids % 5) wins instead — assignment driven by the weighted evidence,
+    not token count alone.  Oracle replays the field-tagged extraction,
+    per-(field,token) rare filter, unblocked DL<=1 vocab join with field
+    equality, weight map, and ranking."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 1500
+    )
+
+    def h(tag, n):
+        return F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, n
+        )
+
+    fn = F.concat(F.lit("fn"), h("n", 5))
+    ln = F.concat(F.lit("ln"), h("m", 5))
+    city = F.concat(F.lit("city"), (F.col("doc_id") % 40).cast("string"))
+    phone = F.concat(F.lit("p"), h("p", 6))
+    a = base.select(
+        "doc_id",
+        F.concat_ws(" ", fn, ln).alias("name"),
+        city.alias("city"),
+        phone.alias("phone"),
+    )
+    fn_typo = F.concat(F.substring(fn, 1, 3), F.substring(fn, 5, 3))
+    b = (
+        base.where(F.col("doc_id") % 11 != 0)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(" ", fn_typo, ln).alias("name"),
+            city.alias("city"),
+            phone.alias("phone"),
+        )
+        .unionByName(
+            base.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.lit("xx"), h("q", 5)).alias("name"),
+                city.alias("city"),
+                phone.alias("phone"),
+            )
+        )
+    )
+    out = linkage.link_records(
+        a, b, {"name": 2.0, "city": 1.0, "phone": 3.0},
+        linkage.LinkConfig(max_distance=1),
+    )
+    return out.select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_LINK_RECORDS_SQL = """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 1500),
+    af AS (
+        SELECT doc_id,
+               'fn' || substr(md5(doc_id::VARCHAR || 'n'), 1, 5) AS fn,
+               'ln' || substr(md5(doc_id::VARCHAR || 'm'), 1, 5) AS ln,
+               'city' || (doc_id % 40)::VARCHAR AS city,
+               'p' || substr(md5(doc_id::VARCHAR || 'p'), 1, 6) AS phone
+        FROM ids
+    ),
+    ta AS (
+        SELECT DISTINCT doc_id AS a_id, field, token FROM (
+            SELECT doc_id, 'name' AS field, fn AS token FROM af
+            UNION ALL SELECT doc_id, 'name', ln FROM af
+            UNION ALL SELECT doc_id, 'city', city FROM af
+            UNION ALL SELECT doc_id, 'phone', phone FROM af
+        ) WHERE length(token) >= 3
+    ),
+    bf AS (
+        SELECT doc_id + 100000 AS b_id,
+               substr(fn, 1, 3) || substr(fn, 5, 3) AS t_name1,
+               ln AS t_name2, city, phone
+        FROM af WHERE doc_id % 11 <> 0
+    ),
+    bd AS (
+        SELECT doc_id + 200000 AS b_id,
+               'xx' || substr(md5(doc_id::VARCHAR || 'q'), 1, 5) AS t_name1,
+               NULL AS t_name2, city, phone
+        FROM af WHERE doc_id % 5 = 0
+    ),
+    tb AS (
+        SELECT DISTINCT b_id, field, token FROM (
+            SELECT b_id, 'name' AS field, t_name1 AS token FROM bf
+            UNION ALL SELECT b_id, 'name', t_name2 FROM bf
+            UNION ALL SELECT b_id, 'city', city FROM bf
+            UNION ALL SELECT b_id, 'phone', phone FROM bf
+            UNION ALL SELECT b_id, 'name', t_name1 FROM bd
+            UNION ALL SELECT b_id, 'city', city FROM bd
+            UNION ALL SELECT b_id, 'phone', phone FROM bd
+        ) WHERE token IS NOT NULL AND length(token) >= 3
+    ),
+    ra AS (SELECT * FROM ta WHERE (field, token) IN (
+        SELECT (field, token) FROM ta GROUP BY field, token
+        HAVING count(*) <= 50)),
+    rb AS (SELECT * FROM tb WHERE (field, token) IN (
+        SELECT (field, token) FROM tb GROUP BY field, token
+        HAVING count(*) <= 50)),
+    tm AS (
+        SELECT tok_a, tok_b,
+               1.0 - damerau_levenshtein(tok_a, tok_b)::DOUBLE
+                   / greatest(length(tok_a), length(tok_b)) AS w_tok
+        FROM (SELECT DISTINCT token AS tok_a FROM ra),
+             (SELECT DISTINCT token AS tok_b FROM rb)
+        WHERE abs(length(tok_a) - length(tok_b)) <= 1
+          AND damerau_levenshtein(tok_a, tok_b) <= 1
+    ),
+    ev AS (
+        SELECT ra.a_id, rb.b_id, ra.field, tm.tok_a, tm.tok_b,
+               CASE ra.field WHEN 'name' THEN 2.0 WHEN 'city' THEN 1.0
+                    WHEN 'phone' THEN 3.0 END * tm.w_tok AS w
+        FROM ra JOIN tm ON ra.token = tm.tok_a
+                JOIN rb ON rb.token = tm.tok_b AND rb.field = ra.field
+    ),
+    agg AS (
+        SELECT a_id, b_id,
+               count(DISTINCT (field, tok_a, tok_b))::BIGINT AS n_matched,
+               round(sum(w), 6) AS score
+        FROM ev GROUP BY a_id, b_id
+        HAVING count(DISTINCT (field, tok_a, tok_b)) >= 2
+    )
+    SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, n_matched, score,
+           rank::INT AS rank
+    FROM (
+        SELECT a_id, b_id, n_matched, score,
+               row_number() OVER (PARTITION BY a_id
+                   ORDER BY score DESC, n_matched DESC, b_id) AS rank
+        FROM agg
+    ) WHERE rank = 1
+"""
+
+
 def q_link_tables_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linkage with the phonetic evidence channel ON: B's first entity
     token carries appended vowels ('aaa') — beyond edit distance 1 (the
@@ -2098,6 +2241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_tables": q_link_tables,
     "link_tables_mutual": q_link_tables_mutual,
     "linkage_incremental": q_linkage_incremental,
+    "link_records_weighted": q_link_records_weighted,
     "link_tables_phonetic": q_link_tables_phonetic,
     "linkage_quality": q_linkage_quality,
     "semantic_dedup": q_semantic_dedup,
@@ -2625,6 +2769,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_match_replay"] = out["fuzzy_query_bucketed"]
     out["stream_dedup_replay"] = _stream_dedup_replay_sql()
     out["url_dedup"] = _URL_DEDUP_SQL
+    out["link_records_weighted"] = _LINK_RECORDS_SQL
     out["ann_recall"] = f"""
         WITH exact AS (SELECT query_id, vec_id FROM ({out["ann_topk_bruteforce"]})),
              ivf AS (SELECT query_id, vec_id FROM ({_ivf_topk_sql(nprobe=12)}))

@@ -141,7 +141,13 @@ def link_tables(
     the candidate-pair table, which is orders smaller than the evidence.
     """
     cfg = cfg or LinkConfig()
-    agg = score_pairs(a_docs, b_docs, cfg)
+    return _assign(score_pairs(a_docs, b_docs, cfg), cfg)
+
+
+def _assign(agg: DataFrame, cfg: LinkConfig) -> DataFrame:
+    """Shared assignment tail: score floor → per-A rank (→ per-B rank when
+    mutual) — used by both the bag-of-tokens and the field-weighted
+    linkage so assignment semantics can never diverge."""
     if cfg.min_score:
         agg = agg.where(F.col("score") >= cfg.min_score)
     wa = Window.partitionBy("a_id").orderBy(
@@ -328,3 +334,103 @@ def update_assignments(
         F.when(delta_wins, F.col("d_sc")).otherwise(F.col("s_sc")).alias("score"),
         delta_wins.alias("changed"),
     )
+
+
+def _field_tokens(
+    recs: DataFrame, fields: dict[str, float], cfg: LinkConfig, id_alias: str
+) -> DataFrame:
+    """Melt (doc_id, <field cols>) into distinct (id, field, token) rows,
+    rare-filtered per (field, token) — a token common WITHIN a field
+    (every record's city is "springfield") is stopword-grade evidence for
+    that field even if globally rare."""
+    stack = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(name).alias("field"),
+                F.col(name).cast("string").alias("raw"),
+            )
+            for name in fields
+        ])
+    ).alias("fv")
+    toks = (
+        recs.select(F.col("doc_id").alias(id_alias), stack)
+        .select(
+            id_alias,
+            F.col("fv.field").alias("field"),
+            F.explode(
+                F.split(normalize_term(F.col("fv.raw")), " ")
+            ).alias("token"),
+        )
+        .where(F.length("token") >= cfg.min_token_len)
+        .distinct()
+    )
+    dfc = toks.groupBy("field", "token").agg(F.count("*").alias("df"))
+    frequent = dfc.where(F.col("df") > cfg.max_df).select("field", "token")
+    return toks.join(F.broadcast(frequent), ["field", "token"], "left_anti")
+
+
+def link_records(
+    a_recs: DataFrame,
+    b_recs: DataFrame,
+    fields: dict[str, float],
+    cfg: LinkConfig | None = None,
+) -> DataFrame:
+    """Schema-aware record linkage: per-FIELD token evidence with field
+    agreement weights — the master-data shape (a light Fellegi-Sunter:
+    each field carries a fixed agreement weight instead of learned m/u
+    odds; a phone-field match tells more than a city-field match).
+
+    ``fields`` maps column name -> weight; both inputs need (doc_id +
+    those columns).  A token pair only counts as evidence when it matches
+    within the SAME field; its weight is
+    ``field_weight * (1 - d / max_len)``.  Output: best B per A —
+    (a_id, b_id, n_matched, score, rank), floored/ranked exactly like
+    :func:`link_tables` (``cfg.min_score`` / ``cfg.mutual`` honored).
+
+    Scale: the token-similarity table is still computed ONCE on the
+    field-agnostic distinct vocabulary (deletion-key blocked, kernel
+    scored) — fields multiply nothing there; the field dimension rides
+    the evidence join as an equality key, and the rare filter runs per
+    (field, token) so one field's stopwords don't poison another's.
+    """
+    cfg = cfg or LinkConfig()
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    ta = _field_tokens(a_recs, fields, cfg, "a_id")
+    tb = _field_tokens(b_recs, fields, cfg, "b_id")
+    va = ta.select("token").distinct()
+    vb = tb.select("token").distinct()
+    tm = cross_vocab_matches(va, vb, cfg).select(
+        "tok_a",
+        "tok_b",
+        (
+            1.0 - F.col("distance") / F.greatest(F.length("tok_a"), F.length("tok_b"))
+        ).alias("w_tok"),
+    )
+    weight = F.create_map(
+        *[x for name, w in sorted(fields.items()) for x in (F.lit(name), F.lit(float(w)))]
+    )
+    ev = (
+        ta.select("a_id", "field", F.col("token").alias("tok_a"))
+        .join(tm.hint("shuffle_hash"), "tok_a")
+        .select("a_id", "field", "tok_a", "tok_b", "w_tok")
+        .join(
+            tb.select("b_id", "field", F.col("token").alias("tok_b"))
+            .hint("shuffle_hash"),
+            ["field", "tok_b"],
+        )
+        .select(
+            "a_id", "b_id",
+            F.xxhash64("field", "tok_a", "tok_b").alias("pair_id"),
+            (weight[F.col("field")] * F.col("w_tok")).alias("w"),
+        )
+    )
+    agg = (
+        ev.groupBy("a_id", "b_id")
+        .agg(
+            F.countDistinct("pair_id").alias("n_matched"),
+            F.round(F.sum("w"), 6).alias("score"),
+        )
+        .where(F.col("n_matched") >= cfg.min_token_matches)
+    )
+    return _assign(agg, cfg)

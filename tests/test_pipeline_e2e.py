@@ -317,3 +317,49 @@ def test_update_assignments_rejects_mutual(spark):
         linkage.update_assignments(
             standing, a, d, linkage.LinkConfig(mutual=True)
         )
+
+
+def test_link_records_field_weights(spark):
+    """Field-weighted linkage semantics: (a) a token match only counts in
+    the SAME field, (b) field weights decide between candidates with
+    equal token counts, (c) per-field rare filter kills a within-field
+    stopword without touching the same string in another field."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    a = spark.createDataFrame(
+        [(1, "marisol quintero", "springfield", "5551234")],
+        "doc_id long, name string, city string, phone string",
+    )
+    b = spark.createDataFrame(
+        [
+            # matches name (2 tokens, weight 2.0 each) only
+            (101, "marisol quintero", "elsewhere", "9999999"),
+            # matches city (1.0) + phone (3.0) only
+            (102, "nobody inparticular", "springfield", "5551234"),
+        ],
+        "doc_id long, name string, city string, phone string",
+    )
+    cfg = linkage.LinkConfig(max_distance=1, min_token_matches=2)
+    # name-weight 2.0: the two name tokens (4.0) beat city+phone (1+3=4.0)
+    # → tie on score, tie on n_matched (2 each) → min b_id wins: 101
+    rows = linkage.link_records(
+        a, b, {"name": 2.0, "city": 1.0, "phone": 3.0}, cfg
+    ).collect()
+    assert [(r["a_id"], r["b_id"], r["score"]) for r in rows] == [(1, 101, 4.0)]
+    # raise phone weight: 102 now wins outright
+    rows2 = linkage.link_records(
+        a, b, {"name": 2.0, "city": 1.0, "phone": 5.0}, cfg
+    ).collect()
+    assert [(r["a_id"], r["b_id"], r["score"]) for r in rows2] == [(1, 102, 6.0)]
+    # cross-field matches don't count: a record whose NAME contains the
+    # city string gains no city evidence
+    b3 = spark.createDataFrame(
+        [(103, "springfield someone", "nowhere", "1112223")],
+        "doc_id long, name string, city string, phone string",
+    )
+    assert (
+        linkage.link_records(
+            a, b3, {"name": 2.0, "city": 1.0, "phone": 3.0}, cfg
+        ).count()
+        == 0
+    )
