@@ -181,28 +181,32 @@ def q_stream_match_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write("\n".join(probes[half:]) + "\n")
     out_path = tempfile.mkdtemp(prefix="stream_match_out_")
     ck = tempfile.mkdtemp(prefix="stream_match_ck_")
-    stream = smatch.stream_probes_from_files(
-        spark, pdir, max_files_per_trigger=1
-    )
-    q = smatch.run_stream_fuzzy_match(
-        stream,
-        "spark_entry_stream_idx",
-        out_path,
-        ck,
-        max_distance=2,
-        variant="standard",
-    )
-    q.awaitTermination()
-    # materialize the (tiny, probe-bounded) sink and clean every temp dir —
-    # the harnesses run each query repeatedly and leaked sinks fill /tmp
+    # materialize the (tiny, probe-bounded) sink and clean every temp dir
+    # in finally — the harnesses run each query repeatedly, and a leak on
+    # the FAILURE path (leftover dirs + dangling catalog table) would also
+    # break the next invocation's index write
     import shutil
 
-    rows = spark.read.parquet(out_path).select(
-        "query", "term", F.col("distance").cast("int").alias("distance")
-    ).collect()
-    spark.sql("DROP TABLE IF EXISTS spark_entry_stream_idx")
-    for d in (pdir, out_path, ck, idx_path):
-        shutil.rmtree(d, ignore_errors=True)
+    try:
+        stream = smatch.stream_probes_from_files(
+            spark, pdir, max_files_per_trigger=1
+        )
+        q = smatch.run_stream_fuzzy_match(
+            stream,
+            "spark_entry_stream_idx",
+            out_path,
+            ck,
+            max_distance=2,
+            variant="standard",
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out_path).select(
+            "query", "term", F.col("distance").cast("int").alias("distance")
+        ).collect()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spark_entry_stream_idx")
+        for d in (pdir, out_path, ck, idx_path):
+            shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(rows, "query string, term string, distance int")
 
 
@@ -241,20 +245,24 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write(_json.dumps(row) + "\n")
     out_path = tempfile.mkdtemp(prefix="stream_dedup_out_")
     ck = tempfile.mkdtemp(prefix="stream_dedup_ck_")
-    stream = (
-        spark.readStream.schema("doc_id long, text string, event_time timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .json(pdir)
-    )
-    q = sdedup.run_stream_dedup(stream, out_path, ck)
-    q.awaitTermination()
     import shutil
 
-    survivors = spark.read.parquet(out_path).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"), "text_hash"
-    ).collect()
-    for d in (pdir, out_path, ck):
-        shutil.rmtree(d, ignore_errors=True)
+    try:
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, event_time timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(pdir)
+        )
+        q = sdedup.run_stream_dedup(stream, out_path, ck)
+        q.awaitTermination()
+        survivors = spark.read.parquet(out_path).select(
+            F.col("doc_id").cast("bigint").alias("doc_id"), "text_hash"
+        ).collect()
+    finally:
+        for d in (pdir, out_path, ck):
+            shutil.rmtree(d, ignore_errors=True)
     return spark.createDataFrame(survivors, "doc_id bigint, text_hash string")
 
 
@@ -2068,7 +2076,7 @@ _URL_DEDUP_SQL = """
             SELECT *,
                    array_to_string(list_filter(string_split(query, '&'),
                        p -> len(p) > 0 AND NOT regexp_matches(p,
-                           '^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)=')),
+                           '^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)=')),
                        '&') AS kept
             FROM parts
         )

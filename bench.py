@@ -280,20 +280,11 @@ SCALE_INPUT = os.environ.get(
 )
 
 
-def gen_scale_input_worker() -> None:
-    """Write the shared scaling-job input once (every cluster size reads the
+def _gen_scale_input(spark) -> None:
+    """Write the shared scaling-job input (every cluster size reads the
     SAME parquet — the north rule's same-input requirement)."""
     from pyspark.sql import functions as F
 
-    # trust the cache only with its _SUCCESS marker: a deadline kill mid
-    # job-commit leaves partial part files, and measuring fewer than
-    # SCALE_PAIRS pairs would silently overstate pairs_per_sec
-    if os.path.isdir(SCALE_INPUT) and os.path.exists(
-        os.path.join(SCALE_INPUT, "_SUCCESS")
-    ):
-        print(json.dumps({"ok": True, "cached": True}))
-        return
-    spark = _fresh_spark(CPUS)
     base = spark.range(0, SCALE_PAIRS, 1, 128)
 
     # deterministic pseudo-words from the id: base-26 digits of two mixes
@@ -311,6 +302,18 @@ def gen_scale_input_worker() -> None:
         .alias("b"),
     )
     pairs.write.mode("overwrite").parquet(SCALE_INPUT)
+
+
+def gen_scale_input_worker() -> None:
+    # trust the cache only with its _SUCCESS marker: a deadline kill mid
+    # job-commit leaves partial part files, and measuring fewer than
+    # SCALE_PAIRS pairs would silently overstate pairs_per_sec
+    if os.path.isdir(SCALE_INPUT) and os.path.exists(
+        os.path.join(SCALE_INPUT, "_SUCCESS")
+    ):
+        print(json.dumps({"ok": True, "cached": True}))
+        return
+    _gen_scale_input(_fresh_spark(CPUS))
     print(json.dumps({"ok": True, "cached": False}))
 
 
@@ -411,6 +414,11 @@ def scale_worker(cores: int) -> None:
             er_stage_wall_s=er["stage_wall_s"],
             er_kernel_pairs=er["kernel_pairs"],
         )
+    # standalone invocation (the SKILL.md re-sample recipe) must not
+    # depend on a prior --gen-input phase: regenerate the shared input if
+    # the cache is missing/partial (one-time cost, before any measurement)
+    if not os.path.exists(os.path.join(SCALE_INPUT, "_SUCCESS")):
+        _gen_scale_input(spark)
     _score_job(spark, cores, limit=SCALE_PAIRS // 10)  # warm JIT/Arrow
     out["host_probe_pre_score_mb_s"] = _wait_clean(20 if not SCALE_ER else 120)
     # First full pass faults every executor/worker page once — on this

@@ -189,9 +189,15 @@ def modality_stats(docs: DataFrame) -> DataFrame:
     one whole-stage-codegen stage) — zero shuffle, zero explode; the same
     shape argument as the simhash HOF plan (BASELINE.md §Round 2).
     """
+    # null spans must read as an EMPTY profile, not garbage: F.size(null)
+    # is -1 (or null) depending on spark.sql.legacy.sizeOfNull, and a
+    # media-ratio gate downstream would misclassify the malformed doc —
+    # every aggregate below is null-guarded (first_media_offset stays
+    # null, the documented no-media value)
+    is_null = F.col("spans").isNull()
     media = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
-    n_spans = F.size("spans")
-    n_media = F.size(media)
+    n_spans = F.when(is_null, F.lit(0)).otherwise(F.size("spans"))
+    n_media = F.when(is_null, F.lit(0)).otherwise(F.size(media))
     return docs.select(
         "doc_id",
         n_spans.cast("int").alias("n_spans"),
@@ -203,10 +209,13 @@ def modality_stats(docs: DataFrame) -> DataFrame:
         F.array_min(F.transform(media, lambda s: s["offset"]))
         .cast("int")
         .alias("first_media_offset"),
-        F.aggregate(
-            F.col("spans"),
+        F.coalesce(
+            F.aggregate(
+                F.col("spans"),
+                F.lit(0),
+                lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
+            ),
             F.lit(0),
-            lambda acc, s: acc + F.length(F.coalesce(s["text"], F.lit(""))),
         )
         .cast("int")
         .alias("text_chars"),

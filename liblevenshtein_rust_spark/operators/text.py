@@ -641,7 +641,10 @@ def corpus_stats(
 
 # -- URL canonicalization / dedup ------------------------------------------
 
-_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)="
+# NOTE deliberately excludes bare "ref": it is widely FUNCTIONAL (e.g. a
+# git branch selector), and merging on it would violate the cosmetic-only
+# contract; ref_src (Twitter's tracking tag) is safe to strip.
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)="
 
 
 def canonical_url(col):
@@ -657,6 +660,10 @@ def canonical_url(col):
       (reordering would merge genuinely different resources whose servers
       are order-sensitive; cosmetic-only is the conservative contract),
     - collapse trailing slashes on a non-root path.
+
+    Non-absolute inputs (no ``scheme://`` — bare hosts, relative paths,
+    mailto:) pass through UNCHANGED: canonicalizing them would collapse
+    every such value to one string and merge unrelated documents.
 
     Scale: one regex/HOF projection per row, zero shuffle.
     """
@@ -682,10 +689,11 @@ def canonical_url(col):
         ),
         "&",
     )
-    return F.concat(
+    built = F.concat(
         scheme, F.lit("://"), host, path,
         F.when(F.length(kept) > 0, F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )
+    return F.when(scheme == "", col).otherwise(built)
 
 
 def url_dedup(

@@ -170,20 +170,13 @@ def _assign(agg: DataFrame, cfg: LinkConfig) -> DataFrame:
 
 def best_per_a(candidates: DataFrame, cfg: LinkConfig | None = None) -> DataFrame:
     """Deterministic best-per-A reduction of a scored candidate-pair table
-    — the shared ranking rule (score DESC, n_matched DESC, b_id ASC) used
-    by both the batch assignment and the incremental merge."""
+    — delegates to :func:`_assign` (non-mutual) so the ranking rule exists
+    exactly once and the incremental merge can never diverge from the
+    batch assignment."""
+    from dataclasses import replace
+
     cfg = cfg or LinkConfig()
-    w = Window.partitionBy("a_id").orderBy(
-        F.col("score").desc(), F.col("n_matched").desc(), F.col("b_id")
-    )
-    out = candidates
-    if cfg.min_score:
-        out = out.where(F.col("score") >= cfg.min_score)
-    return (
-        out.withColumn("_r", F.row_number().over(w))
-        .where(F.col("_r") == 1)
-        .drop("_r")
-    )
+    return _assign(candidates, replace(cfg, mutual=False)).drop("rank")
 
 
 def score_pairs(

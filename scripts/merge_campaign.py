@@ -17,6 +17,15 @@ import bench
 
 detail_path = Path(sys.argv[1])
 detail = json.loads(detail_path.read_text())
+# build_scaling stamps pairs_scored/n_docs from bench's module constants —
+# pin them to the values RECORDED in the artifact being merged, not this
+# shell's env defaults (a 24M-pair campaign merged in a default shell would
+# otherwise be silently rewritten as 16M and every throughput with it)
+sc = detail["scaling"]
+if isinstance(sc.get("score_job"), dict) and "pairs_scored" in sc["score_job"]:
+    bench.SCALE_PAIRS = sc["score_job"]["pairs_scored"]
+if isinstance(sc.get("er_pipeline"), dict) and "n_docs" in sc["er_pipeline"]:
+    bench.SCALE_DOCS = sc["er_pipeline"]["n_docs"]
 samples: dict[int, list] = {}
 for s in detail["scaling"]["samples"]:
     samples.setdefault(s["cores"], []).append(s)

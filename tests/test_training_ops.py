@@ -673,6 +673,12 @@ def test_canonical_url_rules(spark):
         (7, "https://ex.com/", "https://ex.com/"),
         (8, "https://ex.com", "https://ex.com/"),
         (9, "https://ex.com/a?utm_source=x", "https://ex.com/a"),
+        # bare "ref" is FUNCTIONAL (branch selectors etc.) — kept
+        (10, "https://ex.com/blob/f?ref=main", "https://ex.com/blob/f?ref=main"),
+        (11, "https://ex.com/a?ref_src=twsrc", "https://ex.com/a"),
+        # non-absolute inputs pass through unchanged (never merged)
+        (12, "example.com/a", "example.com/a"),
+        (13, "mailto:x@y.example", "mailto:x@y.example"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in cases], "url_id long, url string"
