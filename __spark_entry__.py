@@ -2086,6 +2086,110 @@ _URL_DEDUP_SQL = """
 """
 
 
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl audit (text.url_domain + domain_stats): 4 cosmetic
+    variants per base URL across 7 planted registrable domains — n_urls
+    counts rows, n_canonical counts surviving canonical forms, and their
+    ratio (4:1 here) is the cosmetic-duplication factor per-domain caps
+    act on.  The oracle replays host extraction, two-label reduction, and
+    the canonical-distinct count."""
+    from liblevenshtein_rust_spark.operators import text as _text
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 400
+    )
+    grp = F.floor(F.col("doc_id") / 4).cast("bigint")
+    stem = F.concat(
+        F.lit("www.example"), (grp % 7).cast("string"), F.lit(".com/p/"),
+        F.substring(F.md5(grp.cast("string")), 1, 6),
+    )
+    host_u = F.concat(F.lit("WWW.EXAMPLE"), (grp % 7).cast("string"),
+                      F.lit(".COM"))
+    path = F.concat(F.lit("/p/"), F.substring(F.md5(grp.cast("string")), 1, 6))
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://"), stem))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("https://"), stem, F.lit("/")))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://"), stem, F.lit("?utm_source=x&fbclid=abc")),
+        )
+        .otherwise(F.concat(F.lit("HTTPS://"), host_u, path, F.lit("#frag")))
+    )
+    urls = base.select(F.col("doc_id").alias("url_id"), url.alias("url"))
+    out = _text.domain_stats(urls)
+    return out.select(
+        "domain",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_canonical").cast("bigint").alias("n_canonical"),
+    )
+
+
+_DOMAIN_STATS_SQL = """
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+    urls AS (
+        SELECT doc_id AS url_id,
+               CASE doc_id % 4
+                    WHEN 0 THEN 'https://' || stem
+                    WHEN 1 THEN 'https://' || stem || '/'
+                    WHEN 2 THEN 'https://' || stem || '?utm_source=x&fbclid=abc'
+                    ELSE 'HTTPS://WWW.EXAMPLE' || ((doc_id // 4) % 7)::VARCHAR
+                         || '.COM/p/' || substr(md5((doc_id // 4)::VARCHAR), 1, 6)
+                         || '#frag'
+               END AS url
+        FROM (
+            SELECT doc_id,
+                   'www.example' || ((doc_id // 4) % 7)::VARCHAR || '.com/p/'
+                       || substr(md5((doc_id // 4)::VARCHAR), 1, 6) AS stem
+            FROM ids
+        )
+    ),
+    hosted AS (
+        SELECT url_id, url,
+               lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+        FROM urls
+    ),
+    dom AS (
+        SELECT url_id, url,
+               CASE WHEN len(string_split(host, '.')) >= 2
+                    THEN string_split(host, '.')[-2] || '.' ||
+                         string_split(host, '.')[-1]
+                    ELSE host END AS domain
+        FROM hosted
+    ),
+    canon AS (
+        SELECT url_id, domain,
+               lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+               lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) ||
+               CASE WHEN regexp_replace(regexp_extract(
+                         regexp_replace(url, '#.*$', ''),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                         '/+$', '') = ''
+                    THEN '/'
+                    ELSE regexp_replace(regexp_extract(
+                         regexp_replace(url, '#.*$', ''),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                         '/+$', '') END ||
+               CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS c
+        FROM (
+            SELECT *,
+                   array_to_string(list_filter(string_split(
+                       regexp_extract(regexp_replace(url, '#.*$', ''),
+                                      '\\?([^#]*)', 1), '&'),
+                       p -> len(p) > 0 AND NOT regexp_matches(p,
+                           '^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)=')),
+                       '&') AS kept
+            FROM dom
+        )
+    )
+    SELECT domain, count(*)::BIGINT AS n_urls,
+           count(DISTINCT c)::BIGINT AS n_canonical
+    FROM canon GROUP BY domain
+"""
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus report card (text.corpus_stats): gate signals
     aggregated in one scan + one low-cardinality groupBy.  The oracle
@@ -2245,6 +2349,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_match_replay": q_stream_match_replay,
     "stream_dedup_replay": q_stream_dedup_replay,
     "url_dedup": q_url_dedup,
+    "domain_stats": q_domain_stats,
     # --- round-2 additions the round-2 driver record never checked -------
     "link_tables": q_link_tables,
     "link_tables_mutual": q_link_tables_mutual,
@@ -2778,6 +2883,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_dedup_replay"] = _stream_dedup_replay_sql()
     out["url_dedup"] = _URL_DEDUP_SQL
     out["link_records_weighted"] = _LINK_RECORDS_SQL
+    out["domain_stats"] = _DOMAIN_STATS_SQL
     out["ann_recall"] = f"""
         WITH exact AS (SELECT query_id, vec_id FROM ({out["ann_topk_bruteforce"]})),
              ivf AS (SELECT query_id, vec_id FROM ({_ivf_topk_sql(nprobe=12)}))

@@ -712,3 +712,60 @@ def url_dedup(
             F.min("_id").alias("min_id"),
         )
     )
+
+
+def url_domain(col):
+    """Registrable-domain heuristic from a URL or bare host: lowercase
+    host (port stripped), reduced to its last two labels — the per-domain
+    grouping key a crawl pipeline caps and audits on.
+
+    Deliberately a documented HEURISTIC, not a public-suffix-list lookup
+    (the PSL is a versioned external dataset; at 100 TB it would ship as a
+    broadcast dimension table joined on the exact host, and this column
+    is the fallback).  Two-label reduction is exact for .com/.org-style
+    suffixes and conservative (over-groups) for ccSLDs like .co.uk.
+    Inputs with no extractable host yield NULL.
+    """
+    host = F.lower(
+        F.coalesce(
+            # absolute URL: authority between :// and the next delimiter
+            F.nullif(
+                F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1),
+                F.lit(""),
+            ),
+            # bare host[/path] (no scheme) — must look like a dotted name
+            F.nullif(
+                F.regexp_extract(col, r"^([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)", 1),
+                F.lit(""),
+            ),
+        )
+    )
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.when(
+        n >= 2,
+        F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1)),
+    ).otherwise(host)
+
+
+def domain_stats(
+    urls: DataFrame, url_col: str = "url", id_col: str = "url_id"
+) -> DataFrame:
+    """Per-domain crawl audit: (domain, n_urls, n_canonical) — total rows
+    and distinct canonical URLs per registrable domain.  The ratio is the
+    domain's cosmetic-duplication factor (a mirror/tracking-param farm
+    shows n_urls >> n_canonical), the standard input to per-domain caps
+    (`sampling.per_source_cap` with domain as the source column).  One
+    groupBy shuffle on the domain key."""
+    return (
+        urls.select(
+            url_domain(F.col(url_col)).alias("domain"),
+            canonical_url(F.col(url_col)).alias("_c"),
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("_c").alias("n_canonical"),
+        )
+    )

@@ -709,3 +709,54 @@ def test_url_dedup_groups(spark):
         "https://ex.com/p": (3, 1),
         "https://ex.com/p?id=7": (1, 4),
     }
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(x)) == canon(x): the canonical form must be a fixed
+    point, or re-running a dedup pass over already-canonicalized data
+    would split/merge groups differently."""
+    urls = [
+        "https://Ex.COM:443/a/b/?utm_source=x&q=1#frag",
+        "HTTP://HOST.example:80",
+        "https://ex.com/a?fbclid=1",
+        "example.com/bare",
+        "https://ex.com/a?ref=main&utm_x=1",
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "url_id long, url string")
+    once = df.select("url_id", text.canonical_url(F.col("url")).alias("c1"))
+    twice = once.select("url_id", F.col("c1"),
+                        text.canonical_url(F.col("c1")).alias("c2"))
+    for r in twice.collect():
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+
+
+def test_url_domain_and_domain_stats(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.shop.example.com/a"),
+            (2, "https://cdn.example.com:8443/b"),
+            (3, "http://example.com/c"),
+            (4, "other.org/bare"),             # schemeless host
+            (5, "no host here"),               # no extractable host -> null
+            (6, "https://localhost/x"),        # single label kept as-is
+        ],
+        "url_id long, url string",
+    )
+    got = {r["url_id"]: r["d"] for r in urls.select(
+        "url_id", text.url_domain(F.col("url")).alias("d")).collect()}
+    assert got == {1: "example.com", 2: "example.com", 3: "example.com",
+                   4: "other.org", 5: None, 6: "localhost"}
+    stats = {r["domain"]: (r["n_urls"], r["n_canonical"])
+             for r in text.domain_stats(urls).collect()}
+    # three example.com rows with three DISTINCT canonical forms
+    assert stats["example.com"] == (3, 3)
+    assert stats["other.org"] == (1, 1)
+    # duplication factor: cosmetic variants share one canonical
+    dup = spark.createDataFrame(
+        [(1, "https://ex.com/p"), (2, "https://EX.com/p/"),
+         (3, "https://ex.com/p?utm_source=x")],
+        "url_id long, url string",
+    )
+    s2 = text.domain_stats(dup).collect()[0]
+    assert (s2["domain"], s2["n_urls"], s2["n_canonical"]) == ("ex.com", 3, 1)
