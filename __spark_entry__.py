@@ -1894,7 +1894,10 @@ def _mitton_mini_sql() -> str:
                     freq = 1
             rows.append((cur, parts[0], freq))
     values = ",\n            ".join(
-        f"('{c}', '{m}', {fq})" for c, m, fq in rows
+        # escape single quotes so corpus words like "can't" can't break
+        # the VALUES literal (real Mitton data contains apostrophes)
+        f"""('{c.replace("'", "''")}', '{m.replace("'", "''")}', {fq})"""
+        for c, m, fq in rows
     )
     return f"""
         WITH pairs(correct, misspelling, freq) AS (
@@ -1933,9 +1936,13 @@ def _hash_split_sql() -> str:
     acc, whens = 0.0, []
     for label in labels[:-1]:
         acc += _SPLIT_WEIGHTS[label] / total
-        thr = format(max(0, min(int(acc * 16**8), 16**8 - 1)), "08x")
+        # mirrors sampling.hash_split's inclusive-bound thresholds exactly
+        thr_int = int(acc * 16**8) - 1
+        if thr_int < 0:
+            continue
+        thr = format(min(thr_int, 16**8 - 1), "08x")
         whens.append(
-            f"WHEN substr(md5(doc_id::VARCHAR), 1, 8) < '{thr}' THEN '{label}'"
+            f"WHEN substr(md5(doc_id::VARCHAR), 1, 8) <= '{thr}' THEN '{label}'"
         )
     return f"""
         SELECT doc_id::BIGINT AS doc_id,

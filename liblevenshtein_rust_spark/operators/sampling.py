@@ -248,11 +248,18 @@ def hash_split(
     labels = sorted(weights)
     for label in labels[:-1]:
         acc += weights[label] / total
-        thr = F.lit(format(max(0, min(int(acc * _SPACE), _SPACE - 1)), "08x"))
+        # inclusive upper bound: prefix <= int(acc*SPACE) - 1 is the same
+        # range as the half-open [.., acc*SPACE) EXCEPT it stays correct
+        # when acc reaches 1.0 early — 'ffffffff' rows then land HERE, not
+        # on a possibly zero-weight trailing label (ADVICE r3).
+        thr_int = int(acc * _SPACE) - 1
+        if thr_int < 0:
+            continue  # zero cumulative mass so far: label gets no rows
+        thr = F.lit(format(min(thr_int, _SPACE - 1), "08x"))
         expr = (
-            F.when(prefix < thr, F.lit(label))
+            F.when(prefix <= thr, F.lit(label))
             if expr is None
-            else expr.when(prefix < thr, F.lit(label))
+            else expr.when(prefix <= thr, F.lit(label))
         )
     last = F.lit(labels[-1])
     expr = expr.otherwise(last) if expr is not None else last

@@ -655,8 +655,9 @@ def canonical_url(col):
     - drop the fragment (``#...``),
     - lowercase scheme and host,
     - strip default ports (``http://…:80``, ``https://…:443``),
-    - drop tracking query params (utm_*, fbclid, gclid, msclkid, ref,
-      ref_src) while PRESERVING the order of the surviving params
+    - drop tracking query params (utm_*, fbclid, gclid, msclkid,
+      ref_src — but NOT bare ``ref``, which is widely functional; see the
+      NOTE above) while PRESERVING the order of the surviving params
       (reordering would merge genuinely different resources whose servers
       are order-sensitive; cosmetic-only is the conservative contract),
     - collapse trailing slashes on a non-root path.

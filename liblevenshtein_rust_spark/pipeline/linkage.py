@@ -295,6 +295,21 @@ def update_assignments(
             "link_tables(a, b_union, cfg) instead"
         )
     delta_best = best_per_a(score_pairs(a_docs, b_delta, cfg), cfg)
+    # Standing is documented as one row per a_id; a duplicate a_id would
+    # silently fan out through the full_outer join below and emit duplicate
+    # assignments.  Enforce the invariant with the SAME deterministic order
+    # the merge uses (score DESC, n_matched DESC, b_id ASC) — a no-op on
+    # well-formed input, self-healing on a malformed one (ADVICE r3).
+    from pyspark.sql import Window
+
+    sw = Window.partitionBy("a_id").orderBy(
+        F.col("score").desc(), F.col("n_matched").desc(), F.col("b_id").asc()
+    )
+    standing = (
+        standing.withColumn("_sr", F.row_number().over(sw))
+        .where(F.col("_sr") == 1)
+        .drop("_sr")
+    )
     s = standing.select(
         "a_id",
         F.col("b_id").alias("s_b"),
