@@ -128,6 +128,27 @@ def q_fuzzy_query_d2_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query", "term", F.col("distance").cast("int").alias("distance"))
 
 
+# d=3 probes: includes SHORT probes whose matches need 3 edits on <=6-char
+# terms — the case the pre-round-4 n-gram fallback could lose before the
+# kernel ever saw the pair (VERDICT r3 item 1).  Reference recall contract
+# at d<=3: Holbrook 100%, Birkbeck >95% (`data/corpora/README.md:250-255`,
+# `tests/corpus_validation.rs:25-26`).
+D3_PROBES = ["cln", "qy", "jin", "bath", "windw", "vectr", "strem", "zzzzzzzzzz"]
+
+
+def q_fuzzy_query_d3_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transducer::query_with_distance, standard variant, n=3, through the
+    round-4 length-banded blocked path (depth-3 deletion keys for short
+    strings, positional 2-grams for long ones — ``d3_hybrid_keys``).  The
+    oracle replays the SAME result UNBLOCKED (DuckDB levenshtein over the
+    full probe x vocab cross product), so value-equality proves the
+    blocked path lossless at d=3 — the same oracle style as
+    ``link_tables``."""
+    return matching.fuzzy_query(
+        _probes_df(spark, D3_PROBES), _doc_tokens(spark, sf_dir), 3, STANDARD
+    ).select("query", "term", F.col("distance").cast("int").alias("distance"))
+
+
 def q_fuzzy_query_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same contract as ``fuzzy_query_d2_standard`` through the prepared
     bucketed index (``sources/bucketed.py``): key table materialized once,
@@ -2386,6 +2407,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phonetic_codes": q_phonetic_codes,
     # --- round-1/2 veterans, driver-green in CORRECTNESS_r02.json --------
     "fuzzy_query_d2_standard": q_fuzzy_query_d2_standard,
+    "fuzzy_query_d3_standard": q_fuzzy_query_d3_standard,
     "fuzzy_query_bucketed": q_fuzzy_query_bucketed,
     "fuzzy_query_topk": q_fuzzy_query_topk,
     "fuzzy_query_transposition_d1": q_fuzzy_query_transposition_d1,
@@ -3361,6 +3383,13 @@ def _oracle_sql_dict(toks: str, toks_prefix: str) -> dict[str, str]:
             SELECT p.query, t.term, levenshtein(p.query, t.term)::INT AS distance
             FROM probes p, toks t
             WHERE levenshtein(p.query, t.term) <= 2
+        """,
+        "fuzzy_query_d3_standard": f"""
+            WITH {toks},
+            d3_probes AS (SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in D3_PROBES)}) v(query))
+            SELECT p.query, t.term, levenshtein(p.query, t.term)::INT AS distance
+            FROM d3_probes p, toks t
+            WHERE levenshtein(p.query, t.term) <= 3
         """,
         "fuzzy_query_topk": f"""
             WITH {toks},

@@ -128,37 +128,41 @@ def sorted_neighborhood_key(col: Column, p: int = 5) -> Column:
     return F.rpad(F.substring(col, 1, p), p, "\x00")
 
 
+def _del1(s: Column) -> Column:
+    """All single-character deletions of ``s`` (empty array for '')."""
+    return F.when(F.length(s) < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s), F.lit(1))),
+            lambda i: _delete_at(s, i),
+        )
+    )
+
+
 def _deletion_set(s: Column, n: int) -> Column:
     """Deletion neighborhood of an arbitrary string *expression* (works on
     HOF lambda variables too) — the shared core of every deletion-key
     family.  Includes the string itself; distinct."""
-    length = F.length(s)
-    del1 = F.when(length < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(length, F.lit(1))),
-            lambda i: _delete_at(s, i),
-        )
-    )
+    del1 = _del1(s)
     if n == 1:
         return F.array_distinct(F.concat(F.array(s), del1))
+    if n == 2:
 
-    def build(d1: Column) -> Column:
-        del2 = F.flatten(
-            F.transform(
-                d1,
-                lambda d: F.when(
-                    F.length(d) < 1, F.array().cast("array<string>")
-                ).otherwise(
-                    F.transform(
-                        F.sequence(F.lit(1), F.greatest(F.length(d), F.lit(1))),
-                        lambda i: _delete_at(d, i),
-                    )
-                ),
-            )
-        )
-        return F.array_distinct(F.concat(F.array(s), d1, del2))
+        def build(d1: Column) -> Column:
+            del2 = F.flatten(F.transform(d1, _del1))
+            return F.array_distinct(F.concat(F.array(s), d1, del2))
 
-    return let_bound(del1, build)
+        return let_bound(del1, build)
+
+    # n == 3: depth-3 = depth-1 of every depth-2 member (deletions compose);
+    # let-bind each level so it is evaluated once, not re-expanded per ref.
+    def build3(d1: Column) -> Column:
+        def build3b(d2: Column) -> Column:
+            d3 = F.flatten(F.transform(d2, _del1))
+            return F.array_distinct(F.concat(F.array(s), d1, d2, d3))
+
+        return let_bound(F.flatten(F.transform(d1, _del1)), build3b)
+
+    return let_bound(del1, build3)
 
 
 def prefix_deletion_keys(col: Column, n: int = 1, max_prefix_len: int | None = None) -> Column:
@@ -236,6 +240,66 @@ def merge_split_keys(col: Column, n: int = 2) -> Column:
     )
 
 
+# Distance-3 hybrid key scheme (round-4; VERDICT r3 task 1).  The n-gram
+# fallback previously used for n >= 3 provably loses short-string pairs
+# (3 edits can destroy every 3-gram of a <= 6-char term), while full
+# depth-3 deletion neighborhoods are O(len^3) keys — prohibitive for long
+# terms at 10^12-term scale.  The hybrid bands by length, exactly like
+# `merge_split_keys`:
+#
+# - SHORT strings emit the depth-3 symmetric-deletion neighborhood
+#   (namespace "d:").  Exact at any length for both Standard and
+#   OSA/Transposition distance <= 3: every op is bridged by deleting <= 1
+#   char on each side (sub 1+1, ins 0+1, del 1+0, adjacent transposition
+#   1+1 — delete either swapped char from each side and the remainders
+#   agree), so <= 3 ops are bridged by <= 3 deletions per side and the
+#   depth-3 neighborhoods intersect (the SymSpell/FastSS argument).
+#   Bounded cost: the band cap keeps this at <= C(13,<=3) = 378 keys for
+#   OSA (<= 176 for Standard), short keys, short strings only.
+#
+# - LONG strings emit positional 2-grams with position bucket 4 and the
+#   successor-bucket trick (``ngram_keys(q=2, pos_bucket=4)``): a
+#   surviving gram's position shifts by <= net-indels <= 3 < 4, so the
+#   two sides' {bucket, bucket+1} sets intersect.  Gram completeness: a
+#   string of length l has l-1 2-grams; each sub/ins/del destroys <= 2 of
+#   them, an adjacent transposition <= 3, so 3 edits destroy <= 6
+#   (Standard) / <= 9 (OSA) grams and at least one survives verbatim when
+#   l - 1 > killed, i.e. l >= killed + 2 = D3_*_GRAM_MIN_LEN.
+#
+# The bands OVERLAP by 2 so any length-compatible pair (|len diff| <= 3)
+# shares a complete family:
+#   min(len) <= DEL_MAX - 3  -> max <= DEL_MAX -> both emit deletion keys
+#       (complete at any length);
+#   min(len) >  DEL_MAX - 3, i.e. min >= DEL_MAX - 2 = GRAM_MIN -> both
+#       emit grams (complete because min length >= GRAM_MIN).
+# Reference contract motivating d=3 blocked recall: Holbrook 100% @ d<=3,
+# Birkbeck >95% @ d<=3 (`data/corpora/README.md:250-255`,
+# `tests/corpus_validation.rs:25-26`); the automaton cross-val proptests
+# run d in 0..3 (`tests/proptest_automaton_distance_cross_validation.rs`).
+D3_STD_GRAM_MIN_LEN = 8
+D3_STD_DEL_MAX_LEN = 10
+D3_OSA_GRAM_MIN_LEN = 11
+D3_OSA_DEL_MAX_LEN = 13
+
+
+def d3_hybrid_keys(col: Column, transposition: bool = False) -> Column:
+    """Blocking keys exact for Standard (and, with ``transposition=True``,
+    OSA/Damerau) distance n=3: depth-3 deletion neighborhood for short
+    strings, positional 2-grams for long ones (band proof above; ``d:`` /
+    ``g:`` namespaces keep the families from cross-joining)."""
+    gram_min = D3_OSA_GRAM_MIN_LEN if transposition else D3_STD_GRAM_MIN_LEN
+    del_max = gram_min + 2
+    s = col
+    length = F.length(s)
+    del_keys = F.transform(_deletion_set(s, 3), lambda x: F.concat(F.lit("d:"), x))
+    gram_keys = ngram_keys(s, q=2, pos_bucket=4)  # "g:<gram>:<bucket>" + successor
+    return (
+        F.when(length < gram_min, del_keys)
+        .when(length > del_max, gram_keys)
+        .otherwise(F.concat(del_keys, gram_keys))
+    )
+
+
 def deletion_neighborhood_keys(col: Column, n: int = 1) -> Column:
     """All strings obtainable by deleting up to ``n`` characters — the
     FastSS / symmetric-delete blocking family.  Exact for distance <= n:
@@ -245,7 +309,11 @@ def deletion_neighborhood_keys(col: Column, n: int = 1) -> Column:
     This is the closest distributed analog of automaton-guided trie
     intersection: both enumerate the *bounded-error neighborhood* instead of
     scanning the dictionary.
+
+    n=3 is exposed for tests and short-string callers; production blocking
+    at n=3 should use :func:`d3_hybrid_keys`, which caps the O(len^3) key
+    count by switching long strings to positional 2-grams.
     """
-    if n not in (1, 2):
-        raise ValueError("deletion_neighborhood_keys supports n in {1, 2}")
+    if n not in (1, 2, 3):
+        raise ValueError("deletion_neighborhood_keys supports n in {1, 2, 3}")
     return _deletion_set(col, n)

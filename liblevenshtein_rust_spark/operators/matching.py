@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.blocking_keys import (
+    d3_hybrid_keys,
     deletion_neighborhood_keys,
     merge_split_keys,
     ngram_keys_unpositioned,
@@ -32,7 +33,7 @@ from ..functions.blocking_keys import (
     prefix_deletion_keys,
 )
 from ..functions.udfs import edit_distance_udf, length_prefilter
-from ..kernel.distances import MERGE_AND_SPLIT, STANDARD
+from ..kernel.distances import MERGE_AND_SPLIT, STANDARD, TRANSPOSITION
 
 
 def explode_keys(df: DataFrame, term_col: str, keys_col, out: str = "key") -> DataFrame:
@@ -50,12 +51,17 @@ def candidate_pairs(
     candidate_cap: int | None = None,
     use_deletion_keys: bool = True,
     key_budget: int | None = None,
+    variant: str = STANDARD,
 ) -> DataFrame:
     """Join probes to dictionary on shared blocking keys.
 
     Key scheme: deletion-neighborhood keys (exact for n<=2) when
-    ``use_deletion_keys``; else unpositioned n-grams (recall-complete for the
-    practical length range, far fewer keys on long strings).
+    ``use_deletion_keys``; at n=3 the length-banded depth-3-deletion /
+    positional-2-gram hybrid (:func:`d3_hybrid_keys` — exact for Standard
+    and OSA, band proof in ``functions/blocking_keys``); else unpositioned
+    n-grams (recall-complete only when both sides are long enough that n
+    edits can't destroy every gram — the n>=4 fallback, not exact for
+    short strings).
 
     ``key_budget`` overrides the deletion-key depth when the variant's ops
     span more than one standard edit (merge/split count as up to two), while
@@ -71,6 +77,10 @@ def candidate_pairs(
     if use_deletion_keys and kb <= 2:
         pkeys = deletion_neighborhood_keys(F.col(probe_col), n=min(kb, 2) or 1)
         dkeys = deletion_neighborhood_keys(F.col(term_col), n=min(kb, 2) or 1)
+    elif use_deletion_keys and kb == 3 and variant in (STANDARD, TRANSPOSITION):
+        osa = variant == TRANSPOSITION
+        pkeys = d3_hybrid_keys(F.col(probe_col), transposition=osa)
+        dkeys = d3_hybrid_keys(F.col(term_col), transposition=osa)
     else:
         pkeys = ngram_keys_unpositioned(F.col(probe_col))
         dkeys = ngram_keys_unpositioned(F.col(term_col))
@@ -227,8 +237,10 @@ def fuzzy_query(
     ``max_distance`` of each probe.  Every mode is key-blocked (equi-join,
     never a dictionary scan):
 
-    - standard/transposition: symmetric-deletion keys at depth n — exact
-      for OSA distance n (SymSpell property);
+    - standard/transposition: symmetric-deletion keys at depth n (n<=2) —
+      exact for OSA distance n (SymSpell property); at n=3 the
+      length-banded depth-3-deletion / positional-2-gram hybrid
+      (:func:`d3_hybrid_keys`), exact for both variants;
     - prefix mode: probe deletion keys × term *prefix*-deletion keys
       (:func:`prefix_candidate_pairs`);
     - substring mode: the mirror — probe prefix-deletion keys × term
@@ -282,6 +294,7 @@ def fuzzy_query(
             term_col,
             broadcast_probes=broadcast_probes,
             key_budget=2 * max_distance if variant == MERGE_AND_SPLIT else None,
+            variant=variant,
         )
     dist = edit_distance_udf(
         max_distance,

@@ -107,3 +107,54 @@ def test_merge_split_keys_share_key_across_band(spark):
     )
     ka, kb = [set(r["k"]) for r in df.collect()]
     assert ka & kb
+
+
+def test_d3_blocked_completeness_standard_and_osa(spark):
+    """VERDICT r3 task 1: the blocked path at n=3 must lose no recall,
+    INCLUDING short strings (3 edits can destroy every 3-gram of a
+    <= 6-char term — the exact case the old unpositioned-3-gram fallback
+    got wrong).  Vocab straddles both hybrid bands (standard: 8/10,
+    OSA: 11/13) and includes words of length <= 6; ground truth is the
+    brute-force DP over the full cross product."""
+    rng = random.Random(17)
+    terms = (
+        _rand_words(rng, 60, 1, 6)        # short band — the regression case
+        + _rand_words(rng, 60, 7, 11)     # straddles the standard band
+        + _rand_words(rng, 60, 12, 16)    # straddles the OSA band / gram-only
+    )
+    probes = (
+        _rand_words(rng, 8, 1, 6)
+        + _rand_words(rng, 8, 7, 11)
+        + _rand_words(rng, 8, 12, 16)
+    )
+    for variant, fn in (
+        ("standard", D.standard_distance),
+        ("transposition", D.transposition_distance),
+    ):
+        got = _run_mode(spark, probes, terms, 3, variant=variant)
+        want = {
+            (q, t): fn(q, t)
+            for q in set(probes)
+            for t in terms
+            if fn(q, t) <= 3
+        }
+        assert got == want, f"variant={variant}"
+
+
+def test_d3_hybrid_keys_share_key_across_band(spark):
+    """A deletion-band and a gram-band string within distance 3 must share
+    a key (the band-overlap proof's crossing case), for both variants."""
+    from pyspark.sql import functions as F
+
+    from liblevenshtein_rust_spark.functions.blocking_keys import d3_hybrid_keys
+
+    for osa, a, b in (
+        (False, "abcabcab", "abcabcabcab"),    # len 8 vs 11: ins x3
+        (True, "abcabcabcab", "abcabcabcabcab"),  # len 11 vs 14: ins x3
+    ):
+        assert D.standard_distance(a, b) <= 3
+        df = spark.createDataFrame([(a,), (b,)], "s string").select(
+            d3_hybrid_keys(F.col("s"), transposition=osa).alias("k")
+        )
+        ka, kb = [set(r["k"]) for r in df.collect()]
+        assert ka & kb, (osa, a, b)
