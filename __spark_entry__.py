@@ -1873,6 +1873,7 @@ def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MITTON_MINI = str(Path(__file__).resolve().parent / "data/corpora/mini_mitton.dat")
+_TYPO_CORPUS = str(Path(__file__).resolve().parent / "data/corpora/typo_corpus.dat")
 
 
 def q_mitton_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1890,15 +1891,34 @@ def q_mitton_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.blocked_misspelling_recall(pairs, 2, variant="standard")
 
 
-def _mitton_mini_sql() -> str:
-    """Oracle for mitton_blocked_recall: parse the SAME committed file with
-    the reference's line semantics (parser.rs:208-219 — first token is the
-    misspelling, optional second token the frequency, default 1) and embed
-    it as VALUES; recall via DuckDB's built-in levenshtein (standard
-    variant, exactly the kernel's STANDARD algorithm)."""
+def q_typo_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@d over the committed SEEDED typo corpus (2,887 pairs at
+    verified exact distances 1/2/3 over a 1,200-word length-stratified
+    english_words sample, `scripts/gen_typo_corpus.py`) through the FULL
+    blocked path at n=3 — deletion/2-gram hybrid blocking + kernel.
+    Per-distance recall columns include the d=3 band (465 pairs, short
+    words over-sampled), the reference's corpus-gate scale
+    (`tests/corpus_validation.rs:22-28`: Holbrook 100% @ d<=3).  The
+    oracle re-parses the committed file and recomputes every aggregate
+    with DuckDB levenshtein, so blocking loss, kernel mis-score, and
+    parser drift all surface as value mismatches; exact d=3 blocking
+    means recall_d3 == 1.0 by construction."""
+    from liblevenshtein_rust_spark.sources import corpus
+
+    pairs = corpus.load_mitton_pairs(spark, _TYPO_CORPUS)
+    return corpus.blocked_misspelling_recall(pairs, 3, variant="standard")
+
+
+def _corpus_recall_sql(path: str, max_d: int) -> str:
+    """Oracle for the blocked-recall queries: parse the SAME committed file
+    with the reference's line semantics (parser.rs:208-219 — first token is
+    the misspelling, optional second token the frequency, default 1) and
+    embed it as VALUES; recall via DuckDB's built-in levenshtein (standard
+    variant, exactly the kernel's STANDARD algorithm).  Column set mirrors
+    ``sources/corpus.blocked_misspelling_recall`` at ``max_d``."""
     rows = []
     cur = None
-    with open(_MITTON_MINI) as f:
+    with open(path) as f:
         for line in f:
             t = line.strip()
             if not t:
@@ -1920,6 +1940,10 @@ def _mitton_mini_sql() -> str:
         f"""('{c.replace("'", "''")}', '{m.replace("'", "''")}', {fq})"""
         for c, m, fq in rows
     )
+    recall_cols = ",\n               ".join(
+        f"round(sum(CASE WHEN distance <= {d} THEN 1 ELSE 0 END) / count(*), 6) AS recall_d{d}"
+        for d in range(1, max_d + 1)
+    )
     return f"""
         WITH pairs(correct, misspelling, freq) AS (
             VALUES {values}
@@ -1931,11 +1955,14 @@ def _mitton_mini_sql() -> str:
         )
         SELECT count(*)::BIGINT AS n_pairs,
                sum(freq)::BIGINT AS total_freq,
-               round(sum(CASE WHEN distance <= 1 THEN 1 ELSE 0 END) / count(*), 6) AS recall_d1,
-               round(sum(CASE WHEN distance <= 2 THEN 1 ELSE 0 END) / count(*), 6) AS recall_d2,
-               round(sum(CASE WHEN distance <= 2 THEN freq ELSE 0 END) / sum(freq), 6) AS weighted_recall_d2
+               {recall_cols},
+               round(sum(CASE WHEN distance <= {max_d} THEN freq ELSE 0 END) / sum(freq), 6) AS weighted_recall_d{max_d}
         FROM scored
     """
+
+
+def _mitton_mini_sql() -> str:
+    return _corpus_recall_sql(_MITTON_MINI, 2)
 
 
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -2371,6 +2398,7 @@ def q_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-3 additions -----------------------------------------------
     "mitton_blocked_recall": q_mitton_blocked_recall,
+    "typo_corpus_recall": q_typo_corpus_recall,
     "ivf_recall_sweep": q_ivf_recall_sweep,
     "hash_split": q_hash_split,
     "modality_stats": q_modality_stats,
@@ -2904,6 +2932,7 @@ def oracle_sql() -> dict[str, str]:
     # never drift apart
     out["ivf_recall_sweep"] = _IVF_SWEEP_SQL
     out["mitton_blocked_recall"] = _mitton_mini_sql()
+    out["typo_corpus_recall"] = _corpus_recall_sql(_TYPO_CORPUS, 3)
     out["hash_split"] = _hash_split_sql()
     out["modality_stats"] = _MODALITY_STATS_SQL
     # the stream replay's oracle IS the batch SQL: same probes, same

@@ -96,3 +96,25 @@ def test_exact_and_d1_counts_sane(spark):
     assert len(by_probe["cat"]) > 5  # bat, cap, car, cut, coat, ...
     assert ("house", 0) in by_probe["house"]
     assert all(d <= 1 for terms in by_probe.values() for _, d in terms)
+
+
+def test_typo_corpus_blocked_recall_d3(spark):
+    """The committed seeded typo corpus (scripts/gen_typo_corpus.py: 2,887
+    pairs at VERIFIED exact distances 1/2/3, short words over-sampled)
+    must be fully recalled through the blocked n=3 path — the round-4
+    analog of the reference's Holbrook 100% @ d<=3 gate
+    (tests/corpus_validation.rs:25-26).  recall_d3 < 1.0 means the
+    d3_hybrid_keys family lost a pair before the kernel saw it."""
+    from liblevenshtein_rust_spark.sources.corpus import (
+        blocked_misspelling_recall,
+        load_mitton_pairs,
+    )
+
+    path = Path(__file__).resolve().parent.parent / "data/corpora/typo_corpus.dat"
+    pairs = load_mitton_pairs(spark, str(path))
+    row = blocked_misspelling_recall(pairs, 3, variant="standard").first()
+    assert row["n_pairs"] == 2887
+    assert row["recall_d3"] == 1.0
+    assert row["weighted_recall_d3"] == 1.0
+    # the per-distance bands are real (not all pairs collapsed to d=1)
+    assert row["recall_d1"] < row["recall_d2"] < row["recall_d3"]
