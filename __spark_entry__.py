@@ -1839,36 +1839,80 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF recall@5 vs exact brute force over the same 8 probes the ANN
-    queries use — one metric row at the chosen >=0.9-recall operating point
-    (nprobe=12, from the ivf_recall_sweep table; the test corpus embeddings
-    are structureless, so recall tracks scanned fraction — see
-    similarity.ann_recall).  The oracle replays BOTH rankings and the same
-    intersection."""
+def _clustered_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-cluster embedding fixture (similarity.blend_clusters):
+    deterministic 0.75-anchor blend of the committed iid test embeddings —
+    the corpus on which an ANN *index* can actually pay for itself (round
+    4; VERDICT r3 task 2: the iid table pins recall to scanned fraction,
+    which mis-measures index geometry)."""
     from liblevenshtein_rust_spark.operators import similarity
 
     emb = tables.embeddings(spark, sf_dir)
-    probes = emb.where(F.col("vec_id") < 8).select(
+    return similarity.blend_clusters(emb, n_clusters=8, weight=0.75).select(
+        "vec_id", "embedding"
+    )
+
+
+def _clustered_probes(cl: DataFrame) -> DataFrame:
+    return cl.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return similarity.ann_recall(probes, emb, k=5, n_cells=16, nprobe=12)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 AND scan cost vs exact brute force on the
+    planted-cluster corpus, at the round-4 operating point: n_cells
+    derived ~sqrt(N) (22 at the sf0.01 corpus of 500), nprobe=4 —
+    measured recall 1.0 at candidate_frac 0.19 <= 0.25 (the
+    ivf_recall_sweep table is the evidence).  The round-3 gate point
+    (nprobe=12 of 16 fixed cells, ~75% scanned on iid data) was honest
+    but index-useless; this one has the index earning its keep, with the
+    cost column ON the row.  The oracle replays blend, centroid pick,
+    assignment, both rankings, the intersection, and the cost aggregate."""
+    from liblevenshtein_rust_spark.operators import similarity
+
+    cl = _clustered_emb(spark, sf_dir)
+    return similarity.ann_recall(
+        _clustered_probes(cl), cl, k=5, n_cells=None, nprobe=4
+    )
 
 
 def q_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall/cost table per nprobe (similarity.ivf_recall_sweep): the
-    closed-form sweep — an exact neighbor is recalled iff its cell's
-    probe-rank <= nprobe — so one brute-force pass covers all points.
-    The oracle replays centroid pick, assignment, probe ranking, exact
-    top-k, and both aggregates."""
+    """Recall/cost table per nprobe (similarity.ivf_recall_sweep) on the
+    planted-cluster corpus at derived n_cells: the closed-form sweep — an
+    exact neighbor is recalled iff its cell's probe-rank <= nprobe — so
+    one brute-force pass covers all points.  On clustered data the table
+    shows recall BEATING the scanned fraction (1.0 at ~0.19), which is
+    the whole point of an IVF index.  The oracle replays centroid pick,
+    assignment, probe ranking, exact top-k, and both aggregates."""
     from liblevenshtein_rust_spark.operators import similarity
 
-    emb = tables.embeddings(spark, sf_dir)
-    probes = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
+    cl = _clustered_emb(spark, sf_dir)
     return similarity.ivf_recall_sweep(
-        probes, emb, k=5, n_cells=16, nprobes=(1, 2, 4, 8, 12, 16)
+        _clustered_probes(cl), cl, k=5, n_cells=None, nprobes=(1, 2, 4, 6, 8, 16)
+    )
+
+
+def q_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 (similarity.ivf_sq8_topk): IVF cell pruning + int8-quantized
+    scoring inside probed cells + exact float re-rank of the top-20
+    shortlist — the composed scale path (4x scan bytes cut from SQ8, ~5x
+    candidate cut from IVF at nprobe=4/22, exactness restored by the
+    O(rerank) float pass).  The oracle replays every stage: blend,
+    centroids, assignment, per-vector quantization, integer-dot shortlist,
+    float re-rank."""
+    from liblevenshtein_rust_spark.operators import similarity
+
+    cl = _clustered_emb(spark, sf_dir)
+    out = similarity.ivf_sq8_topk(
+        _clustered_probes(cl), cl, k=5, n_cells=None, nprobe=4, rerank=20
+    )
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "qcos",
+        "cos",
+        F.col("rank").cast("int").alias("rank"),
     )
 
 
@@ -2400,6 +2444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mitton_blocked_recall": q_mitton_blocked_recall,
     "typo_corpus_recall": q_typo_corpus_recall,
     "ivf_recall_sweep": q_ivf_recall_sweep,
+    "ivf_sq8_topk": q_ivf_sq8_topk,
     "hash_split": q_hash_split,
     "modality_stats": q_modality_stats,
     "stream_match_replay": q_stream_match_replay,
@@ -2857,30 +2902,48 @@ def _ivf_topk_sql(nprobe: int) -> str:
     """
 
 
-_IVF_SWEEP_SQL = """
-    WITH cents AS (
+# Shared CTE prefix for the round-4 clustered-corpus ANN oracles: the
+# planted-cluster blend (similarity.blend_clusters, 0.75/0.25 — exact
+# binary doubles), the ~sqrt(N)-derived cell count, the IVF index build,
+# probe ranking, exact brute-force top-5, and cell sizes.  Every ANN
+# oracle composes from this one prefix so the index build can never drift
+# between the queries.
+_CLUSTERED_IVF_CTE = """
+    cb AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    anch AS (
+        SELECT aid, av FROM (
+            SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS aid, v AS av
+            FROM cb
+        ) WHERE aid < 8
+    ),
+    cl AS (
+        SELECT b.vec_id,
+               [0.75::DOUBLE * a.av[i] + 0.25::DOUBLE * b.v[i]
+                FOR i IN generate_series(1, len(b.v))] AS cv
+        FROM cb b JOIN anch a ON b.vec_id % 8 = a.aid
+    ),
+    nc AS (SELECT greatest(16, floor(sqrt(count(*)))::INT) AS c FROM cl),
+    cents AS (
         SELECT cell, centroid FROM (
             SELECT row_number() OVER (ORDER BY md5(vec_id::VARCHAR)) - 1 AS cell,
-                   embedding AS centroid
-            FROM embeddings
-        ) WHERE cell < 16
+                   cv AS centroid
+            FROM cl
+        ) WHERE cell < (SELECT c FROM nc)
     ),
     assigned AS (
-        SELECT vec_id, cell FROM (
-            SELECT e.vec_id, c.cell,
+        SELECT vec_id, cv, cell FROM (
+            SELECT e.vec_id, e.cv, c.cell,
                    row_number() OVER (PARTITION BY e.vec_id
-                       ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                       ORDER BY list_cosine_similarity(e.cv, c.centroid) DESC,
                                 c.cell) AS r
-            FROM embeddings e, cents c
+            FROM cl e, cents c
         ) WHERE r = 1
     ),
-    probes AS (
-        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
-    ),
-    probe_rank AS (
-        SELECT p.query_id, c.cell,
+    probes AS (SELECT vec_id AS query_id, cv AS qv FROM cl WHERE vec_id < 8),
+    prank AS (
+        SELECT p.query_id, p.qv, c.cell,
                row_number() OVER (PARTITION BY p.query_id
-                   ORDER BY list_cosine_similarity(p.qv::DOUBLE[], c.centroid::DOUBLE[]) DESC,
+                   ORDER BY list_cosine_similarity(p.qv, c.centroid) DESC,
                             c.cell) AS pr
         FROM probes p, cents c
     ),
@@ -2888,28 +2951,32 @@ _IVF_SWEEP_SQL = """
         SELECT query_id, vec_id FROM (
             SELECT p.query_id, e.vec_id,
                    row_number() OVER (PARTITION BY p.query_id
-                       ORDER BY round(list_cosine_similarity(p.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                       ORDER BY round(list_cosine_similarity(p.qv, e.cv), 6) DESC,
                                 e.vec_id) AS rank
-            FROM probes p, embeddings e
+            FROM probes p, cl e
         ) WHERE rank <= 5
     ),
-    np AS (SELECT unnest([1, 2, 4, 8, 12, 16]) AS nprobe),
+    sizes AS (SELECT cell, count(*) AS cell_n FROM assigned GROUP BY cell)
+"""
+
+_IVF_SWEEP_SQL = f"""
+    WITH {_CLUSTERED_IVF_CTE},
+    np AS (SELECT unnest([1, 2, 4, 6, 8, 16]) AS nprobe),
     rec AS (
         SELECT np.nprobe, count(*)::BIGINT AS n_exact,
                sum(CASE WHEN pr.pr <= np.nprobe THEN 1 ELSE 0 END)::BIGINT AS n_found
         FROM exact e
         JOIN assigned a USING (vec_id)
-        JOIN probe_rank pr ON pr.query_id = e.query_id AND pr.cell = a.cell
+        JOIN prank pr ON pr.query_id = e.query_id AND pr.cell = a.cell
         CROSS JOIN np
         GROUP BY np.nprobe
     ),
-    sizes AS (SELECT cell, count(*) AS cell_n FROM assigned GROUP BY cell),
     cost AS (
         SELECT nprobe,
                avg(scanned) / (SELECT count(*) FROM assigned) AS cf
         FROM (
             SELECT pr.query_id, np.nprobe, sum(s.cell_n) AS scanned
-            FROM probe_rank pr JOIN sizes s USING (cell) CROSS JOIN np
+            FROM prank pr JOIN sizes s USING (cell) CROSS JOIN np
             WHERE pr.pr <= np.nprobe
             GROUP BY pr.query_id, np.nprobe
         )
@@ -2919,6 +2986,94 @@ _IVF_SWEEP_SQL = """
            round(rec.n_found / rec.n_exact, 6) AS recall_at_k,
            round(cost.cf, 6) AS candidate_frac
     FROM rec JOIN cost USING (nprobe)
+"""
+
+_ANN_RECALL_SQL = f"""
+    WITH {_CLUSTERED_IVF_CTE},
+    ivf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT pc.query_id, a.vec_id,
+                   row_number() OVER (PARTITION BY pc.query_id
+                       ORDER BY round(list_cosine_similarity(pc.qv, a.cv), 6) DESC,
+                                a.vec_id) AS rank
+            FROM (SELECT query_id, qv, cell FROM prank WHERE pr <= 4) pc
+            JOIN assigned a USING (cell)
+        ) WHERE rank <= 5
+    ),
+    rec AS (
+        SELECT count(DISTINCT e.query_id)::BIGINT AS n_queries,
+               count(*)::BIGINT AS n_exact,
+               sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
+               round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / count(*), 6) AS recall_at_k
+        FROM exact e LEFT JOIN ivf i
+          ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+    ),
+    cost AS (
+        SELECT round(avg(scanned) / (SELECT count(*) FROM assigned), 6) AS candidate_frac
+        FROM (
+            SELECT pr.query_id, sum(s.cell_n) AS scanned
+            FROM (SELECT query_id, cell FROM prank WHERE pr <= 4) pr
+            JOIN sizes s USING (cell)
+            GROUP BY pr.query_id
+        )
+    )
+    SELECT rec.n_queries, rec.n_exact, rec.n_found, rec.recall_at_k,
+           cost.candidate_frac
+    FROM rec, cost
+"""
+
+_IVF_SQ8_SQL = f"""
+    WITH {_CLUSTERED_IVF_CTE},
+    qt AS (
+        SELECT vec_id, cell,
+               CASE WHEN s > 0 THEN list_transform(cv, x -> round(x / s)::INT)
+                    ELSE list_transform(cv, x -> 0) END AS qb
+        FROM (
+            SELECT vec_id, cell, cv,
+                   list_max(list_transform(cv, x -> abs(x))) / 127.0 AS s
+            FROM assigned
+        )
+    ),
+    qp AS (
+        SELECT query_id,
+               CASE WHEN s > 0 THEN list_transform(qv, x -> round(x / s)::INT)
+                    ELSE list_transform(qv, x -> 0) END AS qa
+        FROM (
+            SELECT query_id, qv,
+                   list_max(list_transform(qv, x -> abs(x))) / 127.0 AS s
+            FROM probes
+        )
+    ),
+    short AS (
+        SELECT query_id, vec_id, qv, qcos FROM (
+            SELECT query_id, vec_id, qv, qcos,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY qcos DESC, vec_id) AS qr
+            FROM (
+                SELECT pc.query_id, q.vec_id, pc.qv,
+                       round(CASE WHEN list_dot_product(qp.qa, qp.qa) > 0
+                                   AND list_dot_product(q.qb, q.qb) > 0
+                             THEN list_dot_product(qp.qa, q.qb)
+                                  / (sqrt(list_dot_product(qp.qa, qp.qa))
+                                     * sqrt(list_dot_product(q.qb, q.qb)))
+                             ELSE 0.0 END, 6) AS qcos
+                FROM (SELECT query_id, qv, cell FROM prank WHERE pr <= 4) pc
+                JOIN qt q USING (cell)
+                JOIN qp ON qp.query_id = pc.query_id
+            )
+        ) WHERE qr <= 20
+    )
+    SELECT query_id::BIGINT AS query_id, vec_id::BIGINT AS vec_id,
+           qcos, cos, rank::INT AS rank
+    FROM (
+        SELECT s.query_id, s.vec_id, s.qcos,
+               round(list_cosine_similarity(s.qv, e.cv), 6) AS cos,
+               row_number() OVER (PARTITION BY s.query_id
+                   ORDER BY round(list_cosine_similarity(s.qv, e.cv), 6) DESC,
+                            s.vec_id) AS rank
+        FROM short s JOIN cl e ON e.vec_id = s.vec_id
+    ) WHERE rank <= 5
 """
 
 
@@ -2942,17 +3097,8 @@ def oracle_sql() -> dict[str, str]:
     out["url_dedup"] = _URL_DEDUP_SQL
     out["link_records_weighted"] = _LINK_RECORDS_SQL
     out["domain_stats"] = _DOMAIN_STATS_SQL
-    out["ann_recall"] = f"""
-        WITH exact AS (SELECT query_id, vec_id FROM ({out["ann_topk_bruteforce"]})),
-             ivf AS (SELECT query_id, vec_id FROM ({_ivf_topk_sql(nprobe=12)}))
-        SELECT count(DISTINCT e.query_id)::BIGINT AS n_queries,
-               count(*)::BIGINT AS n_exact,
-               sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found,
-               round(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-                     / count(*), 6) AS recall_at_k
-        FROM exact e LEFT JOIN ivf i
-          ON e.query_id = i.query_id AND e.vec_id = i.vec_id
-    """
+    out["ann_recall"] = _ANN_RECALL_SQL
+    out["ivf_sq8_topk"] = _IVF_SQ8_SQL
     out["bigram_perplexity"] = """
         WITH tk AS (
             SELECT doc_id,
