@@ -1599,18 +1599,10 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_link_records_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Field-weighted record linkage (linkage.link_records): name/city/
-    phone fields at weights 2/1/3 — a token match only counts within the
-    SAME field, and the field weight scales its evidence.  Fixture: B
-    twins (name typo, same city+phone, score ≈ 7.71) beat city+phone
-    decoys (score 4.0); for ids % 11 the twin is withheld and the decoy
-    (ids % 5) wins instead — assignment driven by the weighted evidence,
-    not token count alone.  Oracle replays the field-tagged extraction,
-    per-(field,token) rare filter, unblocked DL<=1 vocab join with field
-    equality, weight map, and ranking."""
-    from liblevenshtein_rust_spark.pipeline import linkage
-
+def _link_records_fixture(spark: SparkSession, sf_dir: str):
+    """Shared master-data fixture for the field-linkage queries: A records
+    (name/city/phone), B twins (name typo, same city+phone) withheld for
+    ids % 11, plus city+phone decoys for ids % 5."""
     base = tables.documents(spark, sf_dir).select("doc_id").where(
         F.col("doc_id") < 1500
     )
@@ -1648,10 +1640,10 @@ def q_link_records_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    out = linkage.link_records(
-        a, b, {"name": 2.0, "city": 1.0, "phone": 3.0},
-        linkage.LinkConfig(max_distance=1),
-    )
+    return a, b
+
+
+def _linkage_out_cols(out: DataFrame) -> DataFrame:
     return out.select(
         F.col("a_id").cast("bigint").alias("a_id"),
         F.col("b_id").cast("bigint").alias("b_id"),
@@ -1661,8 +1653,51 @@ def q_link_records_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LINK_RECORDS_SQL = """
-    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 1500),
+def q_link_records_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-weighted record linkage (linkage.link_records): name/city/
+    phone fields at weights 2/1/3 — a token match only counts within the
+    SAME field, and the field weight scales its evidence.  Fixture: B
+    twins (name typo, same city+phone, score ≈ 7.71) beat city+phone
+    decoys (score 4.0); for ids % 11 the twin is withheld and the decoy
+    (ids % 5) wins instead — assignment driven by the weighted evidence,
+    not token count alone.  Oracle replays the field-tagged extraction,
+    per-(field,token) rare filter, unblocked DL<=1 vocab join with field
+    equality, weight map, and ranking."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    a, b = _link_records_fixture(spark, sf_dir)
+    out = linkage.link_records(
+        a, b, {"name": 2.0, "city": 1.0, "phone": 3.0},
+        linkage.LinkConfig(max_distance=1),
+    )
+    return _linkage_out_cols(out)
+
+
+def q_link_records_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED-weight record linkage (linkage.link_records_learned):
+    Fellegi-Sunter with m/u probabilities fitted by a fixed-5-iteration
+    EM on the agreement-pattern counts of the blocked candidate pairs,
+    then log-likelihood-ratio scoring (disagreements count as negative
+    evidence) and the shared deterministic assignment.  Same fixture as
+    link_records_weighted — but here NOBODY hands the engine the 2/1/3
+    weights: EM learns that phone agreement carries more weight than the
+    40-value city field from the pattern table alone.  The oracle unrolls
+    the SAME 5 EM iterations as chained CTEs (identical clamp + explicit
+    half-up-to-9dp rounding per iteration, so the parameter trajectory is
+    bit-locked), then replays scoring and ranking."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    a, b = _link_records_fixture(spark, sf_dir)
+    out = linkage.link_records_learned(
+        a, b, ["name", "city", "phone"], linkage.LinkConfig(max_distance=1)
+    )
+    return _linkage_out_cols(out)
+
+
+# Shared fixture + token-match CTE prefix for the two field-linkage
+# oracles (fixed-weight and learned) — one definition, no drift.
+_LINK_FIXTURE_CTE = """
+    ids AS (SELECT doc_id FROM documents WHERE doc_id < 1500),
     af AS (
         SELECT doc_id,
                'fn' || substr(md5(doc_id::VARCHAR || 'n'), 1, 5) AS fn,
@@ -1716,7 +1751,11 @@ _LINK_RECORDS_SQL = """
              (SELECT DISTINCT token AS tok_b FROM rb)
         WHERE abs(length(tok_a) - length(tok_b)) <= 1
           AND damerau_levenshtein(tok_a, tok_b) <= 1
-    ),
+    )
+"""
+
+_LINK_RECORDS_SQL = f"""
+    WITH {_LINK_FIXTURE_CTE},
     ev AS (
         SELECT ra.a_id, rb.b_id, ra.field, tm.tok_a, tm.tok_b,
                CASE ra.field WHEN 'name' THEN 2.0 WHEN 'city' THEN 1.0
@@ -1740,6 +1779,122 @@ _LINK_RECORDS_SQL = """
         FROM agg
     ) WHERE rank = 1
 """
+
+
+def _link_records_learned_sql(n_iter: int = 5) -> str:
+    """Oracle for link_records_learned: the shared fixture CTEs, per-field
+    agreement vectors, pattern counts, then the Fellegi-Sunter EM unrolled
+    as ``n_iter`` chained CTEs — each iteration applies the IDENTICAL
+    clamp (least/greatest on the 0.000001/0.999999 literals) and explicit
+    half-up 9dp rounding (``floor(x*1e9+0.5)/1e9``) the Python EM uses
+    (`pipeline/linkage.fellegi_sunter_em`), so the parameter trajectory is
+    bit-locked across engines — then LLR scoring and the shared ranking."""
+    flds = ["name", "city", "phone"]
+
+    def r9(e: str) -> str:
+        return f"floor(({e})*1e9 + 0.5)/1e9"
+
+    def clamp(e: str) -> str:
+        return f"least(greatest({e}, 0.000001), 0.999999)"
+
+    g_cols = ",\n               ".join(
+        f"max(CASE WHEN field = '{f}' THEN 1 ELSE 0 END) AS g_{f}" for f in flds
+    )
+    init = (
+        "SELECT 0.1::DOUBLE AS p, "
+        + ", ".join(f"0.9::DOUBLE AS m_{f}" for f in flds)
+        + ", "
+        + ", ".join(f"0.1::DOUBLE AS u_{f}" for f in flds)
+    )
+    ctes = [f"it0 AS ({init})"]
+    for t in range(1, n_iter + 1):
+        pm = " * ".join(
+            ["it.p"]
+            + [
+                f"(CASE WHEN x.g_{f} = 1 THEN it.m_{f} ELSE 1.0 - it.m_{f} END)"
+                for f in flds
+            ]
+        )
+        pu = " * ".join(
+            ["(1.0 - it.p)"]
+            + [
+                f"(CASE WHEN x.g_{f} = 1 THEN it.u_{f} ELSE 1.0 - it.u_{f} END)"
+                for f in flds
+            ]
+        )
+        gsel = ", ".join(f"x.g_{f}" for f in flds)
+        ctes.append(
+            f"""w{t} AS (
+        SELECT g_name, g_city, g_phone, c, pm / (pm + pu) AS w
+        FROM (
+            SELECT {gsel}, x.c, {pm} AS pm, {pu} AS pu
+            FROM pc x, it{t - 1} it
+        )
+    )"""
+        )
+        m_cols = ",\n               ".join(
+            r9(clamp(f"sum(c*w*g_{f})/sum(c*w)")) + f" AS m_{f}" for f in flds
+        )
+        u_cols = ",\n               ".join(
+            r9(clamp(f"sum(c*(1.0-w)*g_{f})/sum(c*(1.0-w))")) + f" AS u_{f}"
+            for f in flds
+        )
+        ctes.append(
+            f"""it{t} AS (
+        SELECT {r9(clamp("sum(c*w)/sum(c)"))} AS p,
+               {m_cols},
+               {u_cols}
+        FROM w{t}
+    )"""
+        )
+    wa_cols = ",\n               ".join(
+        r9(f"log2(m_{f} / u_{f})") + f" AS wa_{f}" for f in flds
+    )
+    wd_cols = ",\n               ".join(
+        r9(f"log2((1.0 - m_{f}) / (1.0 - u_{f}))") + f" AS wd_{f}" for f in flds
+    )
+    score_terms = "\n                 + ".join(
+        f"(CASE WHEN g.g_{f} = 1 THEN wt.wa_{f} ELSE wt.wd_{f} END)" for f in flds
+    )
+    n_terms = " + ".join(f"g.g_{f}" for f in flds)
+    em_ctes = ",\n    ".join(ctes)
+    return f"""
+    WITH {_LINK_FIXTURE_CTE},
+    ag AS (
+        SELECT DISTINCT ra.a_id, rb.b_id, ra.field
+        FROM ra JOIN tm ON ra.token = tm.tok_a
+                JOIN rb ON rb.token = tm.tok_b AND rb.field = ra.field
+    ),
+    g AS (
+        SELECT a_id, b_id,
+               {g_cols}
+        FROM ag GROUP BY a_id, b_id
+    ),
+    pc AS (
+        SELECT g_name, g_city, g_phone, count(*)::DOUBLE AS c
+        FROM g GROUP BY g_name, g_city, g_phone
+    ),
+    {em_ctes},
+    wt AS (
+        SELECT {wa_cols},
+               {wd_cols}
+        FROM it{n_iter}
+    ),
+    scored AS (
+        SELECT g.a_id, g.b_id,
+               ({n_terms})::BIGINT AS n_matched,
+               round({score_terms}, 6) AS score
+        FROM g, wt
+    )
+    SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, n_matched, score,
+           rank::INT AS rank
+    FROM (
+        SELECT a_id, b_id, n_matched, score,
+               row_number() OVER (PARTITION BY a_id
+                   ORDER BY score DESC, n_matched DESC, b_id) AS rank
+        FROM scored
+    ) WHERE rank = 1
+    """
 
 
 def q_link_tables_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2456,6 +2611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_tables_mutual": q_link_tables_mutual,
     "linkage_incremental": q_linkage_incremental,
     "link_records_weighted": q_link_records_weighted,
+    "link_records_learned": q_link_records_learned,
     "link_tables_phonetic": q_link_tables_phonetic,
     "linkage_quality": q_linkage_quality,
     "semantic_dedup": q_semantic_dedup,
@@ -3096,6 +3252,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_dedup_replay"] = _stream_dedup_replay_sql()
     out["url_dedup"] = _URL_DEDUP_SQL
     out["link_records_weighted"] = _LINK_RECORDS_SQL
+    out["link_records_learned"] = _link_records_learned_sql()
     out["domain_stats"] = _DOMAIN_STATS_SQL
     out["ann_recall"] = _ANN_RECALL_SQL
     out["ivf_sq8_topk"] = _IVF_SQ8_SQL

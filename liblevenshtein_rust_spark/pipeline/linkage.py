@@ -442,3 +442,186 @@ def link_records(
         .where(F.col("n_matched") >= cfg.min_token_matches)
     )
     return _assign(agg, cfg)
+
+
+# ---------------------------------------------------------------------------
+# learned weights: Fellegi-Sunter with EM (round 4; VERDICT r3 task 3)
+# ---------------------------------------------------------------------------
+
+
+def _round9(x: float) -> float:
+    """Round-half-UP to 9 dp via the explicit floor formula — the SAME
+    formula the DuckDB oracle uses (``floor(x*1e9 + 0.5)/1e9``), so the
+    EM trajectories stay bit-locked across engines (Python's built-in
+    round() is banker's rounding and would drift)."""
+    import math
+
+    return math.floor(x * 1e9 + 0.5) / 1e9
+
+
+# clamp bounds as exact decimal literals shared with the oracle SQL
+# (1.0 - 1e-6 computed at runtime is 0.99999900000000008..., a different
+# double from the parsed literal 0.999999)
+_EM_CLAMP = 1e-6
+_EM_CLAMP_HI = 0.999999
+
+
+def field_agreements(
+    a_recs: DataFrame,
+    b_recs: DataFrame,
+    fields: list[str],
+    cfg: LinkConfig | None = None,
+) -> DataFrame:
+    """Per-field binary agreement vectors over the BLOCKED candidate pairs:
+    (a_id, b_id, g_<field> int 0/1 per field).  gamma_f = 1 iff the pair
+    shares at least one fuzzy-matching token (<= cfg.max_distance) in
+    field f.  Candidate set = pairs with >= 1 agreeing field — the same
+    deletion-key-blocked evidence join every linkage path uses; at 10^12
+    records the comparison space is the blocked one, which is also the
+    population EM's u-probabilities describe (standard practice: m/u are
+    estimated on the compared pairs, not the full cross product).
+    """
+    cfg = cfg or LinkConfig()
+    fw = {f: 1.0 for f in fields}
+    ta = _field_tokens(a_recs, fw, cfg, "a_id")
+    tb = _field_tokens(b_recs, fw, cfg, "b_id")
+    va = ta.select("token").distinct()
+    vb = tb.select("token").distinct()
+    tm = cross_vocab_matches(va, vb, cfg).select("tok_a", "tok_b")
+    ag = (
+        ta.select("a_id", "field", F.col("token").alias("tok_a"))
+        .join(tm.hint("shuffle_hash"), "tok_a")
+        .join(
+            tb.select("b_id", "field", F.col("token").alias("tok_b"))
+            .hint("shuffle_hash"),
+            ["field", "tok_b"],
+        )
+        .select("a_id", "b_id", "field")
+        .distinct()
+    )
+    return ag.groupBy("a_id", "b_id").agg(
+        *[
+            F.max((F.col("field") == f).cast("int")).alias(f"g_{f}")
+            for f in fields
+        ]
+    )
+
+
+def fellegi_sunter_em(
+    pattern_counts: list[tuple[tuple[int, ...], int]],
+    n_fields: int,
+    n_iter: int = 5,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> tuple[float, list[float], list[float]]:
+    """Fixed-iteration EM for the Fellegi-Sunter m/u probabilities, run on
+    the agreement-PATTERN sufficient statistics (<= 2^F rows — the
+    driver-side table is bounded by the field count, NOT the pair count,
+    so the same code serves 10^12 candidate pairs).
+
+    Deterministic by construction: fixed iteration count, fixed init,
+    every parameter re-rounded to 9 dp per iteration with the explicit
+    half-away formula (:func:`_round9`) and clamped to
+    [1e-6, 0.999999] — the DuckDB oracle replays the identical unrolled
+    iterations as chained CTEs and lands on the identical doubles.
+
+    Returns (p, m[f], u[f]).  Reference analog: the reference hard-codes
+    per-operation costs (``transducer/algorithm.rs``); FS-EM is the
+    linkage-native way to LEARN the evidence weights from the data
+    (Fellegi & Sunter 1969; Winkler 1988 EM formulation).
+    """
+    p = init_p
+    m = [init_m] * n_fields
+    u = [init_u] * n_fields
+    pats = sorted(pattern_counts)
+    for _ in range(n_iter):
+        sw = swc = sc = 0.0
+        sm = [0.0] * n_fields
+        su = [0.0] * n_fields
+        for gamma, c in pats:
+            pm = p
+            pu = 1.0 - p
+            for f in range(n_fields):
+                pm *= m[f] if gamma[f] else 1.0 - m[f]
+                pu *= u[f] if gamma[f] else 1.0 - u[f]
+            w = pm / (pm + pu)
+            sc += c
+            sw += c * w
+            swc += c * (1.0 - w)
+            for f in range(n_fields):
+                if gamma[f]:
+                    sm[f] += c * w
+                    su[f] += c * (1.0 - w)
+        p = _round9(min(max(sw / sc, _EM_CLAMP), _EM_CLAMP_HI))
+        m = [
+            _round9(min(max(sm[f] / sw, _EM_CLAMP), _EM_CLAMP_HI))
+            for f in range(n_fields)
+        ]
+        u = [
+            _round9(min(max(su[f] / swc, _EM_CLAMP), _EM_CLAMP_HI))
+            for f in range(n_fields)
+        ]
+    return p, m, u
+
+
+def link_records_learned(
+    a_recs: DataFrame,
+    b_recs: DataFrame,
+    fields: list[str],
+    cfg: LinkConfig | None = None,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Record linkage with LEARNED field weights (full Fellegi-Sunter):
+    per-field agreement vectors over blocked candidates → EM-estimated
+    m/u probabilities → log-likelihood-ratio scores → the shared
+    deterministic assignment (:func:`_assign`).
+
+    score = sum_f [ gamma_f * log2(m_f/u_f)
+                    + (1-gamma_f) * log2((1-m_f)/(1-u_f)) ], rounded to 6.
+
+    vs :func:`link_records`: there the caller HANDS us the field weights;
+    here the evidence table itself says a phone agreement is worth more
+    than a city agreement (m/u odds), with disagreements scored too
+    (negative evidence) — the textbook FS upgrade.
+
+    Scale: the only extra cost over `link_records` is one groupBy to
+    pattern counts (<= 2^F rows collected — bounded by field count) and a
+    driver-side EM over those rows; scoring is a literal-weight
+    projection.  Output: (a_id, b_id, n_matched, score, rank) rank-1
+    rows, n_matched = number of agreeing fields.
+    """
+    import math
+
+    cfg = cfg or LinkConfig()
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    g = field_agreements(a_recs, b_recs, fields, cfg)
+    gcols = [f"g_{f}" for f in fields]
+    counts = g.groupBy(*gcols).agg(F.count(F.lit(1)).alias("c")).collect()
+    pattern_counts = [
+        (tuple(int(r[c]) for c in gcols), int(r["c"])) for r in counts
+    ]
+    _, m, u = fellegi_sunter_em(pattern_counts, len(fields), n_iter=n_iter)
+    w_agree = [_round9(math.log2(m[f] / u[f])) for f in range(len(fields))]
+    w_dis = [
+        _round9(math.log2((1.0 - m[f]) / (1.0 - u[f])))
+        for f in range(len(fields))
+    ]
+    score = None
+    for f in range(len(fields)):
+        term = F.when(F.col(gcols[f]) == 1, F.lit(w_agree[f])).otherwise(
+            F.lit(w_dis[f])
+        )
+        score = term if score is None else score + term
+    n_matched = None
+    for c in gcols:
+        t = F.col(c).cast("bigint")
+        n_matched = t if n_matched is None else n_matched + t
+    agg = g.select(
+        "a_id",
+        "b_id",
+        n_matched.alias("n_matched"),
+        F.round(score, 6).alias("score"),
+    ).where(F.col("n_matched") >= 1)
+    return _assign(agg, cfg)

@@ -363,3 +363,64 @@ def test_link_records_field_weights(spark):
         ).count()
         == 0
     )
+
+
+def test_link_records_learned_em_planted_truth(spark):
+    """Fellegi-Sunter EM gate (round 4): with NO hand-set field weights,
+    the EM-learned LLR scoring must (a) recover every planted twin —
+    P/R = 1.0/1.0 on the planted truth, matching the fixed-weight path's
+    gate — and (b) actually LEARN that the unique phone field outweighs
+    the 10-value city field (m/u odds), which is the whole point of
+    learning the weights from the evidence."""
+    import math
+
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    import hashlib
+
+    def h(s):  # md5-style tokens: distinct ids are many edits apart
+        return hashlib.md5(s.encode()).hexdigest()
+
+    n = 120
+    a_rows = [
+        (i, f"fn{h(f'{i}n')[:5]} ln{h(f'{i}m')[:5]}", f"city{i % 10}",
+         f"p{h(f'{i}p')[:6]}")
+        for i in range(n)
+    ]
+    b_rows = [
+        # twins: name typo (4th char of the fn token dropped), same
+        # city+phone — withheld for i % 7 == 0
+        (1000 + i,
+         f"fn{h(f'{i}n')[:1]}{h(f'{i}n')[2:5]} ln{h(f'{i}m')[:5]}",
+         f"city{i % 10}", f"p{h(f'{i}p')[:6]}")
+        for i in range(n)
+        if i % 7 != 0
+    ] + [
+        # decoys: unrelated name, same city, different phone
+        (2000 + i, f"zz{h(f'{i}q')[:5]}", f"city{i % 10}", f"q{h(f'{i}r')[:6]}")
+        for i in range(n)
+        if i % 3 == 0
+    ]
+    schema = "doc_id long, name string, city string, phone string"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    fields = ["name", "city", "phone"]
+    cfg = linkage.LinkConfig(max_distance=1)
+    out = {
+        r["a_id"]: r
+        for r in linkage.link_records_learned(a, b, fields, cfg).collect()
+    }
+    truth = {i: 1000 + i for i in range(n) if i % 7 != 0}
+    predicted = {i: out[i]["b_id"] for i in truth if i in out}
+    assert predicted == truth  # precision 1.0 AND recall 1.0 on planted truth
+    # the learned weights rank the fields by their true discriminativity
+    g = linkage.field_agreements(a, b, fields, cfg)
+    pats = [
+        (tuple(int(r[f"g_{f}"]) for f in fields), int(r["c"]))
+        for r in g.groupBy(*[f"g_{f}" for f in fields])
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    _, m, u = linkage.fellegi_sunter_em(pats, len(fields))
+    wa = [math.log2(m[f] / u[f]) for f in range(len(fields))]
+    assert wa[2] > wa[1]  # phone agreement outweighs city agreement
