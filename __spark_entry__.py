@@ -842,6 +842,188 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mixed-scheme media fixture: two committed P6 images, two committed PCM16
+# WAVs (REAL stdlib decode paths — operators/multimodal.decode_media), and
+# two synthetic sha-stub refs (compressed formats stay stubbed: no
+# PIL/ffmpeg in the container).
+_MEDIA_FIXTURE_REFS = [
+    "ppm:img_rgb_4x4",
+    "ppm:img_rgb_6x2",
+    "wav:tone_a",
+    "wav:tone_b",
+    "m000001",
+    "m000002",
+]
+
+
+def _media_fixture_docs(spark: SparkSession) -> DataFrame:
+    rows = [
+        ("mdoc0", [("media", "", r, i) for i, r in enumerate(_MEDIA_FIXTURE_REFS)])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct"
+        "<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def q_media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_features over the mixed-scheme fixture: REAL pixel bytes for
+    ppm: refs (pure-stdlib P6 parse), REAL PCM16 sample bytes for wav:
+    refs (stdlib wave), sha-squeeze for m-stubs — one 16-dim feature per
+    asset, exploded to scalar rows.  The oracle re-derives every payload
+    INDEPENDENTLY (committed file bytes inlined as hex, headers skipped
+    by offsets computed with separate regex/struct logic; stub bytes via
+    DuckDB's own sha256) and replays the reshape-mean.  Rounded to 2 dp:
+    payload sizes here give up to 15 reshape rows, so the float32 gap
+    argument needs the coarser rounding (boundary gap >= 1/(200*15*255)
+    = 1.3e-6 >> float32 error ~6e-8)."""
+    from liblevenshtein_rust_spark.operators import multimodal
+
+    out = multimodal.media_features(_media_fixture_docs(spark))
+    exploded = out.select(
+        "media_ref",
+        F.col("n_bytes").cast("int").alias("n_bytes"),
+        F.posexplode(F.col("feature")).alias("dim", "value"),
+    )
+    return exploded.select(
+        "media_ref",
+        "n_bytes",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("value").cast("double"), 2).alias("value"),
+    )
+
+
+def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_stats over the committed PPM/WAV fixtures: REAL per-channel
+    pixel means and REAL amplitude statistics (exact integer sums, one
+    final division rounded to 6 — bit-replayable).  The oracle recomputes
+    everything from the inlined file hex: P6 header skipped at a
+    regex-derived offset, WAV data located by the 'data' chunk tag,
+    int16 LE samples reassembled byte-wise in SQL."""
+    from liblevenshtein_rust_spark.operators import multimodal
+
+    docs = _media_fixture_docs(spark)
+    out = multimodal.media_stats(docs)
+    # media_ref is aliased to `asset_ref` so the alphabetically-first
+    # column is unique and non-null: the driver's canonicalizer sorts rows
+    # by sorted-column order, and a leading nullable column would compare
+    # None against int (TypeError) before a later column could break ties
+    return out.where(F.col("modality") != "stub").select(
+        F.col("media_ref").alias("asset_ref"), "modality", "n_bytes",
+        "width", "height", "mean_r", "mean_g", "mean_b", "n_samples",
+        "framerate", "mean_abs", "peak",
+    )
+
+
+def _media_decode_sqls() -> tuple[str, str]:
+    """Build the two media-decode oracles from the COMMITTED fixture files:
+    hex-inline the raw bytes; compute payload offsets with logic
+    independent of the engine's parsers (regex for the P6 header, the
+    'data' chunk tag for WAV)."""
+    import re as _re
+    from pathlib import Path as _P
+
+    media_dir = _P(__file__).resolve().parent / "data/media"
+    files = []  # (ref, modality, hex, payload_off, width, height, framerate)
+    for ref in _MEDIA_FIXTURE_REFS:
+        if ref.startswith("ppm:"):
+            data = (media_dir / f"{ref[4:]}.ppm").read_bytes()
+            m = _re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", data)
+            w, h = int(m.group(1)), int(m.group(2))
+            files.append((ref, "image", data.hex(), m.end(), w, h, None))
+        elif ref.startswith("wav:"):
+            data = (media_dir / f"{ref[4:]}.wav").read_bytes()
+            off = data.index(b"data") + 8
+            rate = int.from_bytes(data[24:28], "little")
+            files.append((ref, "audio", data.hex(), off, None, None, rate))
+
+    def lit(x):
+        return "NULL" if x is None else str(x)
+
+    values = ",\n            ".join(
+        f"('{r}', '{mo}', '{hx}', {off}, {lit(w)}, {lit(h)}, {lit(fr)})"
+        for r, mo, hx, off, w, h, fr in files
+    )
+    stub_values = ", ".join(
+        f"('{r}')" for r in _MEDIA_FIXTURE_REFS if r.startswith("m")
+    )
+    files_cte = f"""
+        files(media_ref, modality, hx, off, width, height, framerate) AS (
+            VALUES {values}
+        )
+    """
+    features_sql = f"""
+        WITH {files_cte},
+        pl AS (
+            SELECT media_ref,
+                   [('0x' || substr(hx, 2*k + 1, 2))::INT
+                    FOR k IN generate_series(off, length(hx)//2 - 1)] AS b
+            FROM files
+            UNION ALL
+            SELECT media_ref,
+                   [('0x' || substr(sha256(media_ref), 2*(k % 32) + 1, 2))::INT
+                    FOR k IN generate_series(0, 99)] AS b
+            FROM (VALUES {stub_values}) s(media_ref)
+        )
+        SELECT media_ref, len(b)::INT AS n_bytes, j::INT AS dim,
+               round(sum(CASE WHEN 16*r + j < len(b) THEN b[16*r + j + 1]
+                              ELSE 0 END)
+                     / ((len(b) + 15) // 16) / 255.0, 2) AS value
+        FROM pl, generate_series(0, 15) gj(j),
+             unnest(generate_series(0, (len(b) + 15) // 16 - 1)) gr(r)
+        GROUP BY media_ref, len(b), j
+    """
+    stats_sql = f"""
+        WITH {files_cte},
+        img AS (
+            SELECT f.media_ref, f.width, f.height,
+                   (length(f.hx)//2 - f.off)::INT AS n_bytes, k - f.off AS k,
+                   ('0x' || substr(f.hx, 2*k + 1, 2))::INT AS b
+            FROM files f,
+                 unnest(generate_series(f.off, length(f.hx)//2 - 1)) g(k)
+            WHERE f.modality = 'image'
+        ),
+        imgstat AS (
+            SELECT media_ref, 'image' AS modality, n_bytes, width, height,
+                   round(sum(CASE WHEN k % 3 = 0 THEN b END) / (count(*) / 3), 6) AS mean_r,
+                   round(sum(CASE WHEN k % 3 = 1 THEN b END) / (count(*) / 3), 6) AS mean_g,
+                   round(sum(CASE WHEN k % 3 = 2 THEN b END) / (count(*) / 3), 6) AS mean_b,
+                   NULL::INT AS n_samples, NULL::INT AS framerate,
+                   NULL::DOUBLE AS mean_abs, NULL::INT AS peak
+            FROM img GROUP BY media_ref, n_bytes, width, height
+        ),
+        aud AS (
+            SELECT f.media_ref, f.framerate,
+                   (length(f.hx)//2 - f.off)::INT AS n_bytes,
+                   (('0x' || substr(f.hx, 2*(f.off + 2*j) + 1, 2))::INT
+                    + 256 * ('0x' || substr(f.hx, 2*(f.off + 2*j + 1) + 1, 2))::INT) AS u
+            FROM files f,
+                 unnest(generate_series(0, (length(f.hx)//2 - f.off)//2 - 1)) g(j)
+            WHERE f.modality = 'audio'
+        ),
+        audstat AS (
+            SELECT media_ref, 'audio' AS modality, n_bytes,
+                   NULL::INT AS width, NULL::INT AS height,
+                   NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g,
+                   NULL::DOUBLE AS mean_b,
+                   count(*)::INT AS n_samples, framerate::INT AS framerate,
+                   round(sum(abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END))
+                         / count(*), 6) AS mean_abs,
+                   max(abs(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END))::INT AS peak
+            FROM aud GROUP BY media_ref, framerate, n_bytes
+        )
+        SELECT media_ref AS asset_ref, modality, n_bytes, width, height,
+               mean_r, mean_g, mean_b, n_samples, framerate, mean_abs, peak
+        FROM imgstat
+        UNION ALL
+        SELECT media_ref AS asset_ref, modality, n_bytes, width, height,
+               mean_r, mean_g, mean_b, n_samples, framerate, mean_abs, peak
+        FROM audstat
+    """
+    return features_sql, stats_sql
+
+
 def q_fuzzy_query_weighted_nosub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime-weighted operation set (GeneralizedAutomaton parity,
     reference ``generalized/operation_set.rs``): substitution cost 2 at
@@ -2658,6 +2840,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     "span_roundtrip": q_span_roundtrip,
     "media_features": q_media_features,
+    "media_decode_features": q_media_decode_features,
+    "media_decode_stats": q_media_decode_stats,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "fuzzy_query_weighted_nosub": q_fuzzy_query_weighted_nosub,
@@ -3253,6 +3437,7 @@ def oracle_sql() -> dict[str, str]:
     out["url_dedup"] = _URL_DEDUP_SQL
     out["link_records_weighted"] = _LINK_RECORDS_SQL
     out["link_records_learned"] = _link_records_learned_sql()
+    out["media_decode_features"], out["media_decode_stats"] = _media_decode_sqls()
     out["domain_stats"] = _DOMAIN_STATS_SQL
     out["ann_recall"] = _ANN_RECALL_SQL
     out["ivf_sq8_topk"] = _IVF_SQ8_SQL
