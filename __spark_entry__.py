@@ -2560,6 +2560,154 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSL_PATH = str(Path(__file__).resolve().parent / "data/psl_snapshot.dat")
+
+
+def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl audit keyed on the PUBLIC-SUFFIX-LIST registrable
+    domain (text.domain_stats_psl; the committed `data/psl_snapshot.dat`
+    subset rides as a broadcast dimension) — the exact path the two-label
+    `domain_stats` heuristic documents as its production primary.  The
+    fixture plants every PSL rule class: ``.co.uk`` ccSLDs across two
+    host shapes (www./shop. — the heuristic would over-group ALL of them
+    under one 'co.uk' key; the PSL keeps 7 distinct registrable domains),
+    deep ``.com`` subdomains, the wildcard rule ``*.ck``, and the
+    exception rule ``!www.ck``.  The oracle replays the full PSL
+    algorithm: candidate suffixes + wildcard keys, exception-first
+    prevailing rule, public-suffix+1 reduction, then the canonical-URL
+    dedup count."""
+    from liblevenshtein_rust_spark.operators import text as _text
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 300
+    )
+    grp = F.floor(F.col("doc_id") / 3).cast("bigint")
+    path = F.concat(F.lit("/p/"), F.substring(F.md5(grp.cast("string")), 1, 6))
+    host = (
+        F.when(grp % 5 == 0, F.concat(F.lit("www.example"), (grp % 7).cast("string"), F.lit(".co.uk")))
+        .when(grp % 5 == 1, F.concat(F.lit("shop.example"), (grp % 7).cast("string"), F.lit(".co.uk")))
+        .when(grp % 5 == 2, F.concat(F.lit("a.b.example"), (grp % 7).cast("string"), F.lit(".com")))
+        .when(grp % 5 == 3, F.concat(F.lit("foo"), (grp % 3).cast("string"), F.lit(".xyzzy.ck")))
+        .otherwise(F.lit("www.ck"))
+    )
+    url = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("https://"), host, path))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("https://"), host, path, F.lit("/")))
+        .otherwise(F.concat(F.lit("https://"), host, path, F.lit("?utm_source=x")))
+    )
+    urls = base.select(F.col("doc_id").alias("url_id"), url.alias("url"))
+    psl = _text.load_psl(spark, _PSL_PATH)
+    out = _text.domain_stats_psl(urls, psl)
+    return out.select(
+        "domain",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_canonical").cast("bigint").alias("n_canonical"),
+    )
+
+
+def _domain_stats_psl_sql() -> str:
+    """Oracle: PSL rules inlined from the committed snapshot (independent
+    line parse), full PSL algorithm in SQL, then the canonical count."""
+    rules = []
+    with open(_PSL_PATH) as f:
+        for line in f:
+            t = line.strip()
+            if not t or t.startswith("//"):
+                continue
+            exc = t.startswith("!")
+            rule = t[1:] if exc else t
+            rules.append((rule, exc, len(rule.split("."))))
+    values = ", ".join(
+        f"('{r}', {str(e).upper()}, {n})" for r, e, n in rules
+    )
+    return f"""
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        rules(rule, is_exc, n_labels) AS (VALUES {values}),
+        urls AS (
+            SELECT doc_id AS url_id,
+                   CASE doc_id % 3
+                        WHEN 0 THEN 'https://' || host || pth
+                        WHEN 1 THEN 'https://' || host || pth || '/'
+                        ELSE 'https://' || host || pth || '?utm_source=x'
+                   END AS url
+            FROM (
+                SELECT doc_id,
+                       CASE (doc_id // 3) % 5
+                            WHEN 0 THEN 'www.example' || ((doc_id // 3) % 7)::VARCHAR || '.co.uk'
+                            WHEN 1 THEN 'shop.example' || ((doc_id // 3) % 7)::VARCHAR || '.co.uk'
+                            WHEN 2 THEN 'a.b.example' || ((doc_id // 3) % 7)::VARCHAR || '.com'
+                            WHEN 3 THEN 'foo' || ((doc_id // 3) % 3)::VARCHAR || '.xyzzy.ck'
+                            ELSE 'www.ck'
+                       END AS host,
+                       '/p/' || substr(md5((doc_id // 3)::VARCHAR), 1, 6) AS pth
+                FROM ids
+            )
+        ),
+        hosted AS (
+            SELECT url_id, url,
+                   lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host
+            FROM urls
+        ),
+        parts AS (
+            SELECT url_id, host, string_split(host, '.') AS p FROM hosted
+        ),
+        cand AS (
+            SELECT url_id, host, len(p) AS n, k,
+                   array_to_string(p[len(p)-k+1:len(p)], '.') AS key
+            FROM parts, unnest(generate_series(1, len(p))) g(k)
+            UNION ALL
+            SELECT url_id, host, len(p) AS n, k,
+                   '*.' || array_to_string(p[len(p)-k+2:len(p)], '.') AS key
+            FROM parts, unnest(generate_series(2, len(p))) g(k)
+        ),
+        prevail AS (
+            SELECT c.url_id, c.host, c.n,
+                   max(CASE WHEN r.is_exc THEN r.n_labels - 1 END) AS exc_ps,
+                   max(CASE WHEN NOT r.is_exc THEN c.k END) AS norm_ps
+            FROM cand c LEFT JOIN rules r ON c.key = r.rule
+            GROUP BY c.url_id, c.host, c.n
+        ),
+        dom AS (
+            SELECT url_id,
+                   CASE WHEN n > coalesce(exc_ps, norm_ps, 1)
+                        THEN array_to_string(
+                            string_split(host, '.')[n - coalesce(exc_ps, norm_ps, 1):n],
+                            '.')
+                   END AS domain
+            FROM prevail
+        ),
+        canon AS (
+            SELECT d.url_id, d.domain,
+                   lower(regexp_extract(u.url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   || '://'
+                   || lower(regexp_extract(u.url,
+                          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
+                   || CASE WHEN regexp_replace(regexp_extract(u.url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                               '/+$', '') = ''
+                          THEN '/'
+                          ELSE regexp_replace(regexp_extract(u.url,
+                               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                               '/+$', '') END
+                   || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS c
+            FROM dom d JOIN (
+                SELECT url_id, url,
+                       array_to_string(list_filter(string_split(
+                           regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                           p -> len(p) > 0 AND NOT regexp_matches(p,
+                               '^(utm_[^=]*|fbclid|gclid|msclkid|ref_src)=')),
+                           '&') AS kept
+                FROM urls
+            ) u USING (url_id)
+            WHERE d.domain IS NOT NULL
+        )
+        SELECT domain, count(*)::BIGINT AS n_urls,
+               count(DISTINCT c)::BIGINT AS n_canonical
+        FROM canon GROUP BY domain
+    """
+
+
 _DOMAIN_STATS_SQL = """
     WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 400),
     urls AS (
@@ -2788,6 +2936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_replay": q_stream_dedup_replay,
     "url_dedup": q_url_dedup,
     "domain_stats": q_domain_stats,
+    "domain_stats_psl": q_domain_stats_psl,
     # --- round-2 additions the round-2 driver record never checked -------
     "link_tables": q_link_tables,
     "link_tables_mutual": q_link_tables_mutual,
@@ -3439,6 +3588,7 @@ def oracle_sql() -> dict[str, str]:
     out["link_records_learned"] = _link_records_learned_sql()
     out["media_decode_features"], out["media_decode_stats"] = _media_decode_sqls()
     out["domain_stats"] = _DOMAIN_STATS_SQL
+    out["domain_stats_psl"] = _domain_stats_psl_sql()
     out["ann_recall"] = _ANN_RECALL_SQL
     out["ivf_sq8_topk"] = _IVF_SQ8_SQL
     out["bigram_perplexity"] = """

@@ -770,3 +770,141 @@ def domain_stats(
             F.countDistinct("_c").alias("n_canonical"),
         )
     )
+
+
+# -- PSL-backed registrable domains (round 4; VERDICT r3 task 6) ------------
+
+
+def load_psl(spark, path: str) -> DataFrame:
+    """Parse a Public Suffix List file (PSL syntax: one rule per line,
+    ``//`` comments, ``*.`` wildcards, ``!`` exceptions) into the
+    broadcast dimension table (rule, is_exception, n_labels) —
+    ``rule`` keeps the ``*.`` prefix (it IS the join key for wildcard
+    candidates) but drops the ``!`` marker."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            t = line.strip()
+            if not t or t.startswith("//"):
+                continue
+            is_exc = t.startswith("!")
+            rule = t[1:] if is_exc else t
+            rows.append((rule, is_exc, len(rule.split("."))))
+    return spark.createDataFrame(
+        rows, "rule string, is_exception boolean, n_labels int"
+    )
+
+
+def _url_host(col):
+    """Lowercased host from an absolute URL or a bare dotted host."""
+    return F.lower(
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(col, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1),
+                F.lit(""),
+            ),
+            F.nullif(
+                F.regexp_extract(col, r"^([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)+)", 1),
+                F.lit(""),
+            ),
+        )
+    )
+
+
+def registrable_domain_psl(
+    urls: DataFrame,
+    psl: DataFrame,
+    url_col: str = "url",
+    id_col: str = "url_id",
+) -> DataFrame:
+    """Registrable domain via the Public Suffix List algorithm — the
+    PRIMARY path for per-domain grouping (the two-label `url_domain`
+    heuristic stays as the documented no-dimension-table fallback):
+
+    1. every label-suffix of the host is a match candidate; a suffix of
+       k labels also emits the wildcard key ``*.`` + its last k-1 labels;
+    2. candidates equi-join the broadcast PSL table on the rule string;
+    3. prevailing rule: an exception rule wins outright (public suffix =
+       rule minus its first label), else the longest match, else the
+       default rule ``*`` (public suffix = 1 label);
+    4. registrable domain = public suffix + one label; a host that IS a
+       public suffix has none (NULL).
+
+    Output: (id_col, host, domain).  Scale: the full PSL is ~10k rules —
+    a classic broadcast dimension; the explode emits n + (n-1) candidate
+    rows per URL (hosts have ≤ ~10 labels), and the per-URL aggregate
+    rides the explode's partitioning — no extra shuffle beyond the one
+    groupBy on the URL id.
+    """
+    host = _url_host(F.col(url_col))
+    base = urls.select(
+        F.col(id_col).alias("_uid"), host.alias("host")
+    ).where(F.col("host").isNotNull())
+    parts = F.split(F.col("host"), r"\.")
+    n = F.size(parts)
+    exacts = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda k: F.struct(
+            k.alias("k"),
+            F.concat_ws(".", F.slice(parts, n - k + 1, k)).alias("key"),
+        ),
+    )
+    wilds = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(2), n),
+            lambda k: F.struct(
+                k.alias("k"),
+                F.concat(
+                    F.lit("*."),
+                    F.concat_ws(".", F.slice(parts, n - k + 2, k - 1)),
+                ).alias("key"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<k:int,key:string>>"))
+    cand = base.select(
+        "_uid", "host", F.size(F.split(F.col("host"), r"\.")).alias("n"),
+        F.explode(F.concat(exacts, wilds)).alias("c"),
+    ).select("_uid", "host", "n", F.col("c.k").alias("k"), F.col("c.key").alias("key"))
+    m = cand.join(F.broadcast(psl), cand["key"] == psl["rule"], "left")
+    agg = m.groupBy("_uid", "host", "n").agg(
+        F.max(F.when(F.col("is_exception"), F.col("n_labels") - 1)).alias("exc_ps"),
+        F.max(
+            F.when(F.col("is_exception") == False, F.col("k"))  # noqa: E712
+        ).alias("norm_ps"),
+    )
+    ps = F.coalesce(F.col("exc_ps"), F.col("norm_ps"), F.lit(1))
+    parts2 = F.split(F.col("host"), r"\.")
+    domain = F.when(
+        F.col("n") > ps,
+        F.concat_ws(".", F.slice(parts2, F.col("n") - ps, ps + 1)),
+    )
+    return agg.select(
+        F.col("_uid").alias(id_col), "host", domain.alias("domain")
+    )
+
+
+def domain_stats_psl(
+    urls: DataFrame,
+    psl: DataFrame,
+    url_col: str = "url",
+    id_col: str = "url_id",
+) -> DataFrame:
+    """Per-domain crawl audit keyed on the PSL registrable domain — the
+    exact version of :func:`domain_stats` (which over-groups ccSLDs like
+    ``.co.uk`` under its two-label heuristic).  Same output contract:
+    (domain, n_urls, n_canonical); hosts that ARE public suffixes (no
+    registrable domain) are excluded."""
+    d = registrable_domain_psl(urls, psl, url_col, id_col)
+    joined = urls.select(
+        F.col(id_col).alias("_uid"),
+        canonical_url(F.col(url_col)).alias("_c"),
+    ).join(d.select(F.col(id_col).alias("_uid"), "domain"), "_uid")
+    return (
+        joined.where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("_c").alias("n_canonical"),
+        )
+    )

@@ -6,6 +6,8 @@ additionally value-checks each on the sf0.01 corpus)."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -760,3 +762,45 @@ def test_url_domain_and_domain_stats(spark):
     )
     s2 = text.domain_stats(dup).collect()[0]
     assert (s2["domain"], s2["n_urls"], s2["n_canonical"]) == ("ex.com", 3, 1)
+
+
+def test_registrable_domain_psl_rule_classes(spark):
+    """The PSL path must handle every rule class the snapshot carries:
+    ccSLD normal rules (.co.uk stays per-site, where the two-label
+    heuristic over-groups), wildcard (*.ck), exception (!www.ck), the
+    default rule (unknown TLD -> 2 labels), and the host-is-a-public-
+    suffix NULL case."""
+    from liblevenshtein_rust_spark.operators import text as T
+
+    psl = T.load_psl(
+        spark,
+        str(Path(__file__).resolve().parent.parent / "data/psl_snapshot.dat"),
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://shop.example.co.uk/p/1"),
+            (2, "https://sub.deep.example.com/a"),
+            (3, "https://foo.xyzzy.ck/w"),   # wildcard *.ck
+            (4, "http://www.ck/x"),          # exception !www.ck
+            (5, "https://nomatch.zz/y"),     # default rule
+            (6, "https://uk/"),              # host IS a public suffix
+        ],
+        "url_id long, url string",
+    )
+    got = {
+        r["url_id"]: r["domain"]
+        for r in T.registrable_domain_psl(urls, psl).collect()
+    }
+    assert got == {
+        1: "example.co.uk",
+        2: "example.com",
+        3: "foo.xyzzy.ck",
+        4: "www.ck",
+        5: "nomatch.zz",
+        6: None,
+    }
+    # the heuristic fallback over-groups case 1 — documented difference
+    h = urls.where(F.col("url_id") == 1).select(
+        T.url_domain(F.col("url")).alias("d")
+    ).first()
+    assert h["d"] == "co.uk"
