@@ -1781,6 +1781,68 @@ def q_linkage_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_linkage_incremental_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ONE-TO-ONE linkage (linkage.update_assignments_mutual —
+    the operation the round-3 code refused with a ValueError): the two
+    standing tables (best-per-A, best-per-B) absorb a B delta with
+    delta-sized work, and the mutual assignment is their keyed join.
+    Fixture: the linkage_incremental corpus PLUS duplicate-A contenders
+    (ids % 10, a_id + 50000) so the one-to-one filter actually bites —
+    when the delta's exact copy outranks the twin, the duplicate A loses
+    the contention to the smaller base id.  The ORACLE is a full
+    INDEPENDENT rebuild: score A x (B0 ∪ delta) from scratch, rank from
+    both sides, keep rank-1-and-rank-1 — value-equality proves
+    delta-merge ≡ rebuild (changed ≡ the winner being a delta record in
+    this fixture: delta ids are the 300000 band and no score ties
+    exist)."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    base = tables.documents(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") < 2000
+    )
+
+    def ent(tag):
+        return F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(tag))), 1, 8
+        )
+
+    text = F.concat_ws(" ", ent("a"), ent("b"), ent("c"))
+    a = base.select("doc_id", text.alias("text")).unionByName(
+        base.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"), text.alias("text")
+        )
+    )
+    b0 = base.where(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.substring(ent("a"), 1, 3), F.substring(ent("a"), 5, 4)),
+            ent("b"),
+            ent("c"),
+        ).alias("text"),
+    )
+    delta = base.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), text.alias("text")
+    )
+    cfg = linkage.LinkConfig(max_distance=1, mutual=True)
+    from dataclasses import replace
+
+    base_cfg = replace(cfg, mutual=False)
+    scores0 = linkage.score_pairs(a, b0, base_cfg)
+    standing_a = linkage.best_per_a(scores0, base_cfg)
+    standing_b = linkage.best_per_b(scores0, base_cfg)
+    _, _, assign = linkage.update_assignments_mutual(
+        standing_a, standing_b, a, delta, cfg
+    )
+    return assign.select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "score",
+        "changed",
+    )
+
+
 def _link_records_fixture(spark: SparkSession, sf_dir: str):
     """Shared master-data fixture for the field-linkage queries: A records
     (name/city/phone), B twins (name typo, same city+phone) withheld for
@@ -2941,6 +3003,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_tables": q_link_tables,
     "link_tables_mutual": q_link_tables_mutual,
     "linkage_incremental": q_linkage_incremental,
+    "linkage_incremental_mutual": q_linkage_incremental_mutual,
     "link_records_weighted": q_link_records_weighted,
     "link_records_learned": q_link_records_learned,
     "link_tables_phonetic": q_link_tables_phonetic,
@@ -3894,6 +3957,71 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN dwins THEN d_sc ELSE s_sc END AS score,
                dwins AS changed
         FROM merged
+    """
+    # Full INDEPENDENT mutual rebuild over A-with-duplicates x (B0 ∪ delta):
+    # rank-1 from both sides — the delta-merge ≡ rebuild gate.
+    out["linkage_incremental_mutual"] = """
+        WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 2000),
+        a_base AS (
+            SELECT doc_id,
+                   substr(md5(doc_id::VARCHAR || 'a'), 1, 8) AS e1,
+                   substr(md5(doc_id::VARCHAR || 'b'), 1, 8) AS e2,
+                   substr(md5(doc_id::VARCHAR || 'c'), 1, 8) AS e3
+            FROM ids
+        ),
+        a_all AS (
+            SELECT doc_id, e1, e2, e3 FROM a_base
+            UNION ALL
+            SELECT doc_id + 50000, e1, e2, e3 FROM a_base WHERE doc_id % 10 = 0
+        ),
+        ta0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([e1, e2, e3]) AS token FROM a_all)
+        ),
+        ra AS (SELECT * FROM ta0 WHERE token IN (
+            SELECT token FROM ta0 GROUP BY token HAVING count(*) <= 50)),
+        b_all AS (
+            SELECT doc_id + 100000 AS doc_id,
+                   substr(e1, 1, 3) || substr(e1, 5, 4) AS t1, e2 AS t2, e3 AS t3
+            FROM a_base WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id + 300000, e1, e2, e3
+            FROM a_base WHERE doc_id % 3 = 0
+        ),
+        tb0 AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest([t1, t2, t3]) AS token FROM b_all)
+        ),
+        rb AS (SELECT * FROM tb0 WHERE token IN (
+            SELECT token FROM tb0 GROUP BY token HAVING count(*) <= 50)),
+        tm AS (
+            SELECT tok_a, tok_b, damerau_levenshtein(tok_a, tok_b) AS d
+            FROM (SELECT DISTINCT token AS tok_a FROM ra),
+                 (SELECT DISTINCT token AS tok_b FROM rb)
+            WHERE abs(length(tok_a) - length(tok_b)) <= 1
+              AND damerau_levenshtein(tok_a, tok_b) <= 1
+        ),
+        agg AS (
+            SELECT ra.doc_id AS a_id, rb.doc_id AS b_id,
+                   count(DISTINCT (tm.tok_a, tm.tok_b))::BIGINT AS n_matched,
+                   round(sum(1.0 - tm.d::DOUBLE
+                       / greatest(length(tm.tok_a), length(tm.tok_b))), 6) AS score
+            FROM ra JOIN tm ON ra.token = tm.tok_a
+                    JOIN rb ON rb.token = tm.tok_b
+            GROUP BY ra.doc_id, rb.doc_id
+            HAVING count(DISTINCT (tm.tok_a, tm.tok_b)) >= 2
+        ),
+        ranked AS (
+            SELECT a_id, b_id, n_matched, score,
+                   row_number() OVER (PARTITION BY a_id
+                       ORDER BY score DESC, n_matched DESC, b_id) AS rka,
+                   row_number() OVER (PARTITION BY b_id
+                       ORDER BY score DESC, n_matched DESC, a_id) AS rkb
+            FROM agg
+        )
+        SELECT a_id::BIGINT AS a_id, b_id::BIGINT AS b_id, n_matched, score,
+               (b_id >= 300000) AS changed
+        FROM ranked WHERE rka = 1 AND rkb = 1
     """
     out["linkage_quality"] = f"""
         WITH links AS ({out["link_tables"]}),

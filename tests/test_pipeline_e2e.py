@@ -424,3 +424,58 @@ def test_link_records_learned_em_planted_truth(spark):
     _, m, u = linkage.fellegi_sunter_em(pats, len(fields))
     wa = [math.log2(m[f] / u[f]) for f in range(len(fields))]
     assert wa[2] > wa[1]  # phone agreement outweighs city agreement
+
+
+def test_update_assignments_mutual_equals_rebuild(spark):
+    """Round-4 mutual incremental path: folding a B delta into the two
+    standing tables must produce EXACTLY the mutual assignment of a full
+    rebuild over B-union — including the one-to-one contention case
+    (duplicate A records fighting for one new B resolve to the smaller
+    a_id from both paths)."""
+    import hashlib
+
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()[:8]
+
+    n = 60
+    a_rows = [(i, f"{h(f'{i}a')} {h(f'{i}b')} {h(f'{i}c')}") for i in range(n)]
+    # duplicate-A contenders for ids % 10 == 0
+    a_rows += [(50000 + i, t) for i, t in a_rows if i % 10 == 0]
+    # standing B: typo twins for even ids
+    b0_rows = [
+        (100000 + i, f"{h(f'{i}a')[:3]}{h(f'{i}a')[4:8]} {h(f'{i}b')} {h(f'{i}c')}")
+        for i in range(n) if i % 2 == 0
+    ]
+    # delta: exact copies for ids % 3 == 0 (beats the twin; contended by
+    # the duplicate A when i % 30 == 0)
+    delta_rows = [
+        (300000 + i, f"{h(f'{i}a')} {h(f'{i}b')} {h(f'{i}c')}")
+        for i in range(n) if i % 3 == 0
+    ]
+    schema = "doc_id long, text string"
+    a = spark.createDataFrame(a_rows, schema)
+    b0 = spark.createDataFrame(b0_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    cfg = linkage.LinkConfig(max_distance=1, mutual=True)
+    from dataclasses import replace
+
+    base = replace(cfg, mutual=False)
+    scores0 = linkage.score_pairs(a, b0, base)
+    standing_a = linkage.best_per_a(scores0, base)
+    standing_b = linkage.best_per_b(scores0, base)
+    _, _, assign = linkage.update_assignments_mutual(
+        standing_a, standing_b, a, delta, cfg
+    )
+    got = {(r["a_id"], r["b_id"]) for r in assign.collect()}
+    rebuilt = {
+        (r["a_id"], r["b_id"])
+        for r in linkage.link_tables(a, b0.unionByName(delta), cfg).collect()
+    }
+    assert got == rebuilt
+    assert len(got) == len({a_ for a_, _ in got})  # one-to-one per A
+    assert len(got) == len({b_ for _, b_ in got})  # one-to-one per B
+    # contention actually happened: for i % 30 == 0 both a=i and
+    # a=50000+i prefer the delta copy; mutual keeps only the smaller
+    assert (0, 300000) in got and all(a_ != 50000 for a_, _ in got)
