@@ -2987,73 +2987,15 @@ def q_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # newest entries fell past the budget and stayed driver-unchecked).  New
 # operators go at the TOP; long-green veterans at the bottom.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-3 additions -----------------------------------------------
-    "mitton_blocked_recall": q_mitton_blocked_recall,
-    "typo_corpus_recall": q_typo_corpus_recall,
-    "ivf_recall_sweep": q_ivf_recall_sweep,
-    "ivf_sq8_topk": q_ivf_sq8_topk,
-    "hash_split": q_hash_split,
-    "modality_stats": q_modality_stats,
-    "stream_match_replay": q_stream_match_replay,
-    "stream_dedup_replay": q_stream_dedup_replay,
-    "url_dedup": q_url_dedup,
-    "domain_stats": q_domain_stats,
-    "domain_stats_psl": q_domain_stats_psl,
-    # --- round-2 additions the round-2 driver record never checked -------
-    "link_tables": q_link_tables,
-    "link_tables_mutual": q_link_tables_mutual,
-    "linkage_incremental": q_linkage_incremental,
-    "linkage_incremental_mutual": q_linkage_incremental_mutual,
-    "link_records_weighted": q_link_records_weighted,
-    "link_records_learned": q_link_records_learned,
-    "link_tables_phonetic": q_link_tables_phonetic,
-    "linkage_quality": q_linkage_quality,
-    "semantic_dedup": q_semantic_dedup,
-    "quantized_topk": q_quantized_topk,
-    "ann_recall": q_ann_recall,
-    "bloom_contamination": q_bloom_contamination,
-    "bigram_perplexity": q_bigram_perplexity,
-    "curate_documents": q_curate_documents,
-    "corpus_stats": q_corpus_stats,
-    "quality_weighted_sample": q_quality_weighted_sample,
-    "session_fold": q_session_fold,
-    "contextual_complete": q_contextual_complete,
-    "incremental_update": q_incremental_update,
-    "prefix_iterate": q_prefix_iterate,
-    "query_filtered": q_query_filtered,
-    "query_by_value_set": q_query_by_value_set,
-    "union_with_counts": q_union_with_counts,
-    "union_replace": q_union_replace,
-    "substring_positions": q_substring_positions,
-    "fuzzy_substring_d1": q_fuzzy_substring_d1,
-    "phonetic_join": q_phonetic_join,
-    "phonetic_codes": q_phonetic_codes,
-    # --- round-1/2 veterans, driver-green in CORRECTNESS_r02.json --------
-    "fuzzy_query_d2_standard": q_fuzzy_query_d2_standard,
-    "fuzzy_query_d3_standard": q_fuzzy_query_d3_standard,
-    "fuzzy_query_bucketed": q_fuzzy_query_bucketed,
-    "fuzzy_query_topk": q_fuzzy_query_topk,
-    "fuzzy_query_transposition_d1": q_fuzzy_query_transposition_d1,
-    "fuzzy_query_prefix": q_fuzzy_query_prefix,
-    "fuzzy_query_merge_split_d2": q_fuzzy_query_merge_split_d2,
-    "fuzzy_query_ocr_subs": q_fuzzy_query_ocr_subs,
-    "exact_contains": q_exact_contains,
-    "fuzzy_multimap": q_fuzzy_multimap,
-    "blocking_key_stats": q_blocking_key_stats,
-    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
-    "exact_dedup_groups": q_exact_dedup_groups,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "simhash_near_pairs": q_simhash_near_pairs,
+    # --- round-4 driver-budget front block (task 8 rotation): the 34
+    # entries whose last driver row is r2, then the round-4 additions,
+    # then round-4-touched entries needing a fresh driver row ----------
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "lsh_embedding_near_pairs": q_lsh_embedding_near_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_ivf": q_ann_topk_ivf,
     "span_roundtrip": q_span_roundtrip,
     "media_features": q_media_features,
-    "media_decode_features": q_media_decode_features,
-    "media_decode_stats": q_media_decode_stats,
     "media_resize": q_media_resize,
     "media_frame_sample": q_media_frame_sample,
     "fuzzy_query_weighted_nosub": q_fuzzy_query_weighted_nosub,
@@ -3082,6 +3024,67 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "er_pair_metrics": q_er_pair_metrics,
     "er_cluster_bcubed": q_er_cluster_bcubed,
     "contamination_overlap": q_contamination_overlap,
+    # --- new in round 4 ------------------------------------------------
+    "fuzzy_query_d3_standard": q_fuzzy_query_d3_standard,
+    "typo_corpus_recall": q_typo_corpus_recall,
+    "ivf_sq8_topk": q_ivf_sq8_topk,
+    "link_records_learned": q_link_records_learned,
+    "media_decode_features": q_media_decode_features,
+    "media_decode_stats": q_media_decode_stats,
+    "domain_stats_psl": q_domain_stats_psl,
+    "linkage_incremental_mutual": q_linkage_incremental_mutual,
+    # --- changed/touched in round 4 ------------------------------------
+    "ann_recall": q_ann_recall,
+    "ivf_recall_sweep": q_ivf_recall_sweep,
+    "hash_split": q_hash_split,
+    "linkage_incremental": q_linkage_incremental,
+    "link_records_weighted": q_link_records_weighted,
+    "mitton_blocked_recall": q_mitton_blocked_recall,
+    "fuzzy_query_d2_standard": q_fuzzy_query_d2_standard,
+    "fuzzy_query_transposition_d1": q_fuzzy_query_transposition_d1,
+    # --- r3-driver-green, unchanged this round -------------------------
+    "modality_stats": q_modality_stats,
+    "stream_match_replay": q_stream_match_replay,
+    "stream_dedup_replay": q_stream_dedup_replay,
+    "url_dedup": q_url_dedup,
+    "domain_stats": q_domain_stats,
+    "link_tables": q_link_tables,
+    "link_tables_mutual": q_link_tables_mutual,
+    "link_tables_phonetic": q_link_tables_phonetic,
+    "linkage_quality": q_linkage_quality,
+    "semantic_dedup": q_semantic_dedup,
+    "quantized_topk": q_quantized_topk,
+    "bloom_contamination": q_bloom_contamination,
+    "bigram_perplexity": q_bigram_perplexity,
+    "curate_documents": q_curate_documents,
+    "corpus_stats": q_corpus_stats,
+    "quality_weighted_sample": q_quality_weighted_sample,
+    "session_fold": q_session_fold,
+    "contextual_complete": q_contextual_complete,
+    "incremental_update": q_incremental_update,
+    "prefix_iterate": q_prefix_iterate,
+    "query_filtered": q_query_filtered,
+    "query_by_value_set": q_query_by_value_set,
+    "union_with_counts": q_union_with_counts,
+    "union_replace": q_union_replace,
+    "substring_positions": q_substring_positions,
+    "fuzzy_substring_d1": q_fuzzy_substring_d1,
+    "phonetic_join": q_phonetic_join,
+    "phonetic_codes": q_phonetic_codes,
+    "fuzzy_query_bucketed": q_fuzzy_query_bucketed,
+    "fuzzy_query_topk": q_fuzzy_query_topk,
+    "fuzzy_query_prefix": q_fuzzy_query_prefix,
+    "fuzzy_query_merge_split_d2": q_fuzzy_query_merge_split_d2,
+    "fuzzy_query_ocr_subs": q_fuzzy_query_ocr_subs,
+    "exact_contains": q_exact_contains,
+    "fuzzy_multimap": q_fuzzy_multimap,
+    "blocking_key_stats": q_blocking_key_stats,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_near_pairs": q_simhash_near_pairs,
 }
 
 
