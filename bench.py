@@ -447,24 +447,26 @@ def scale_worker(cores: int) -> None:
     print(json.dumps(out))
 
 
-def er_mini_worker(cores: int) -> None:
+def er_mini_worker(cores: int, n_docs: int | None = None) -> None:
     """Subprocess entry for the driver-budget reduced-corpus ER pair: pin
     affinity, one small warm pass (JVM/codegen/Arrow/worker spawn), one
-    measured pass at ER_MINI_DOCS.  Same partition rule as the campaign
-    (data-sized, identical at every cluster size)."""
+    measured pass at ``n_docs`` (argv-passed so the parent's adaptive size
+    pick never touches the env-based smoke guard).  Same partition rule as
+    the campaign (data-sized, identical at every cluster size)."""
+    n_docs = n_docs or ER_MINI_DOCS
     probe = host_probe()
     os.sched_setaffinity(0, set(range(cores)))
-    n_part = scale_partitions(ER_MINI_DOCS)
+    n_part = scale_partitions(n_docs)
     spark = _fresh_spark(cores, shuffle_partitions=n_part)
     globals()["CPUS"] = cores
-    _er_pass(spark, max(ER_MINI_DOCS // 25, 2000), f"er_mini_warm{cores}_", n_part)
+    _er_pass(spark, max(n_docs // 25, 2000), f"er_mini_warm{cores}_", n_part)
     pre = host_probe()
-    er = _er_pass(spark, ER_MINI_DOCS, f"er_mini{cores}_", n_part)
+    er = _er_pass(spark, n_docs, f"er_mini{cores}_", n_part)
     print(
         json.dumps(
             {
                 "cores": cores,
-                "n_docs": ER_MINI_DOCS,
+                "n_docs": n_docs,
                 "wall_s": er["wall_s"],
                 "stage_wall_s": er.get("stage_wall_s"),
                 "host_probe_mb_s": probe,
@@ -705,10 +707,26 @@ def main() -> None:
                     run_scale(cores, reserve)
                     emit()
 
-    # headline phase
+    # headline phase.  Reserve budget for the opportunistic ER-mini pair
+    # BEFORE the main worker runs: its second-pass loop otherwise spends
+    # every remaining second min-merging query walls (observed: er_mini
+    # never fired because the worker's default deadline IS the global
+    # one).  Reservation only when the window plausibly fits the smallest
+    # worthwhile pair (see ER_MINI_SIZES) on top of a minimal headline
+    # (~300 s: cold 92-query pass + ER + english).
     if time_left() > 60:
+        er_mini_reserve = 0.0
+        if DO_SCALING and not SCALE_ER:
+            er_mini_reserve = min(max(time_left() - 300.0, 0.0), 320.0)
+            if er_mini_reserve < 215.0:
+                er_mini_reserve = 0.0
         try:
-            head = _run_worker("--main-worker", timeout=max(time_left() - 5, 60))
+            head = _run_worker(
+                "--main-worker",
+                timeout=max(time_left() - 5, 60),
+                worker_deadline=time.time()
+                + max(time_left() - 5 - er_mini_reserve, 120),
+            )
         except Exception as exc:  # noqa: BLE001
             notes.append(f"main-worker failed: {repr(exc)[:120]}")
         else:
@@ -726,42 +744,56 @@ def main() -> None:
 
     # opportunistic reduced-corpus ER scaling pair (round 4): put the
     # ER-pipeline N-vs-4N criterion on the DRIVER record when a window
-    # allows.  Atomic: a lone 2-core wall is useless, so the 2-core pass
-    # only starts when the 8-core pass's estimate also fits.
-    ER_MINI_EST = {2: 260.0, 8: 110.0}
-    if (
-        DO_SCALING
-        and not SCALE_ER
-        and time_left() > ER_MINI_EST[2] + ER_MINI_EST[8] + 20
-    ):
-        mini: dict[int, dict] = {}
-        for cores in (2, 8):
-            later = ER_MINI_EST[8] if cores == 2 else 0.0
-            if time_left() < ER_MINI_EST[cores] + later + 15:
-                notes.append(f"er-mini {cores} skipped (budget)")
-                break
-            try:
-                mini[cores] = _run_worker(
-                    "--er-mini-worker", str(cores),
-                    timeout=max(time_left() - 10, 60),
-                )
-            except Exception as exc:  # noqa: BLE001
-                notes.append(f"er-mini {cores} failed: {repr(exc)[:100]}")
-                break
-        if len(mini) == 2:
-            w2, w8 = mini[2]["wall_s"], mini[8]["wall_s"]
-            result.setdefault("scaling", {})["er_mini"] = {
-                "n_docs": ER_MINI_DOCS,
-                "walls_s": {"2": w2, "8": w8},
-                "efficiency_2_8": round(w2 / w8 / 4, 3),
-                "samples": mini,
-                "note": (
-                    "driver-budget reduced-corpus pair; understates the "
-                    "committed 1.2M-doc campaign gate (fixed per-stage "
-                    "cost share) - see BENCH_DETAIL_campaign artifacts"
-                ),
-            }
+    # allows.  Size picked ADAPTIVELY from the actual remaining budget
+    # (larger = less fixed-cost-dominated = closer to the campaign
+    # number); atomic — the 2-core pass only starts when the 8-core
+    # pass's estimate also fits.  (docs, est_2core_s, est_8core_s),
+    # estimates incl. JVM + warm pass, calibrated on the campaign walls.
+    ER_MINI_SIZES = ((300_000, 200.0, 95.0), (200_000, 150.0, 80.0))
+    if DO_SCALING and not SCALE_ER:
+        pick = None
+        if os.environ.get("SPARK_GRAFT_BENCH_ER_MINI_DOCS"):
+            pick = (ER_MINI_DOCS, 260.0, 110.0)
+        else:
+            for size in ER_MINI_SIZES:
+                if time_left() > size[1] + size[2] + 20:
+                    pick = size
+                    break
+        if pick is None or time_left() <= pick[1] + pick[2] + 20:
+            # visible on the driver record: the phase was considered, the
+            # window didn't fit (scaling-phase wall is JVM/warm/probe
+            # dominated; the committed campaign artifact carries the gate)
+            notes.append(f"er-mini skipped (window {int(time_left())}s)")
             emit()
+        else:
+            docs, est2, est8 = pick
+            mini: dict[int, dict] = {}
+            for cores, est, later in ((2, est2, est8), (8, est8, 0.0)):
+                if time_left() < est + later + 15:
+                    notes.append(f"er-mini {cores} skipped (budget)")
+                    break
+                try:
+                    mini[cores] = _run_worker(
+                        "--er-mini-worker", str(cores), str(docs),
+                        timeout=max(time_left() - 10, 60),
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    notes.append(f"er-mini {cores} failed: {repr(exc)[:100]}")
+                    break
+            if len(mini) == 2:
+                w2, w8 = mini[2]["wall_s"], mini[8]["wall_s"]
+                result.setdefault("scaling", {})["er_mini"] = {
+                    "n_docs": docs,
+                    "walls_s": {"2": w2, "8": w8},
+                    "efficiency_2_8": round(w2 / w8 / 4, 3),
+                    "samples": mini,
+                    "note": (
+                        "driver-budget reduced-corpus pair; understates the "
+                        "committed 1.2M-doc campaign gate (fixed per-stage "
+                        "cost share) - see BENCH_DETAIL_campaign artifacts"
+                    ),
+                }
+                emit()
 
     # top-up: extra scaling reps with whatever budget remains (per-size min
     # over more samples = more robust efficiency estimate)
@@ -861,7 +893,10 @@ if __name__ == "__main__":
     elif len(sys.argv) >= 2 and sys.argv[1] == "--main-worker":
         main_worker()
     elif len(sys.argv) >= 3 and sys.argv[1] == "--er-mini-worker":
-        er_mini_worker(int(sys.argv[2]))
+        er_mini_worker(
+            int(sys.argv[2]),
+            int(sys.argv[3]) if len(sys.argv) >= 4 else None,
+        )
     elif len(sys.argv) >= 2 and sys.argv[1] == "--gen-input":
         gen_scale_input_worker()
     else:
