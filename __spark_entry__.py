@@ -1828,7 +1828,11 @@ def q_linkage_incremental_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataclasses import replace
 
     base_cfg = replace(cfg, mutual=False)
-    scores0 = linkage.score_pairs(a, b0, base_cfg)
+    from liblevenshtein_rust_spark.session import pooled_persist
+
+    # both standing reductions read the same scored pairs — persist or the
+    # blocked standing-corpus scoring runs twice
+    scores0 = pooled_persist(linkage.score_pairs(a, b0, base_cfg))
     standing_a = linkage.best_per_a(scores0, base_cfg)
     standing_b = linkage.best_per_b(scores0, base_cfg)
     _, _, assign = linkage.update_assignments_mutual(

@@ -416,9 +416,13 @@ def update_assignments_mutual(
     """
     from dataclasses import replace
 
+    from ..session import pooled_persist
+
     cfg = cfg or LinkConfig()
     base = replace(cfg, mutual=False)
-    delta_scores = score_pairs(a_docs, b_delta, base)
+    # both reductions (per-A and per-B) consume the delta scores — persist
+    # or the blocked delta scoring runs twice
+    delta_scores = pooled_persist(score_pairs(a_docs, b_delta, base))
     new_a = _merge_standing(standing_a, best_per_a(delta_scores, base))
     delta_b = best_per_b(delta_scores, base).select(
         "a_id", "b_id", "n_matched", "score", F.lit(True).alias("_new")
@@ -685,7 +689,12 @@ def link_records_learned(
     cfg = cfg or LinkConfig()
     if not fields:
         raise ValueError("fields must be non-empty")
-    g = field_agreements(a_recs, b_recs, fields, cfg)
+    # the agreement table feeds BOTH the EM sufficient statistics (an
+    # action) and the scoring projection — persist it or the whole blocked
+    # evidence join runs twice (measured ~2x on the oracle fixture)
+    from ..session import pooled_persist
+
+    g = pooled_persist(field_agreements(a_recs, b_recs, fields, cfg))
     gcols = [f"g_{f}" for f in fields]
     counts = g.groupBy(*gcols).agg(F.count(F.lit(1)).alias("c")).collect()
     pattern_counts = [
