@@ -1534,6 +1534,79 @@ def _planted_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _meta_block_summary(
+    weights: DataFrame, kept: DataFrame, truth: DataFrame
+) -> DataFrame:
+    """ONE summary row for a meta-blocking prune: pair counts before/after,
+    truth pairs surviving before/after, and the derived completeness /
+    comparison-reduction ratios.  All counts are single-row aggregates
+    combined by 1-row cross joins — nothing returns to the driver."""
+    t = truth.select("left_id", "right_id").withColumn("_t", F.lit(1))
+    before = weights.join(t, ["left_id", "right_id"], "left").agg(
+        F.count("*").cast("bigint").alias("n_pairs_before"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0)))
+        .cast("bigint")
+        .alias("tp_before"),
+    )
+    after = kept.join(t, ["left_id", "right_id"], "left").agg(
+        F.count("*").cast("bigint").alias("n_pairs_after"),
+        F.sum(F.coalesce(F.col("_t"), F.lit(0)))
+        .cast("bigint")
+        .alias("tp_after"),
+    )
+    n_truth = t.agg(F.count("*").cast("bigint").alias("n_truth"))
+    row = before.crossJoin(after).crossJoin(n_truth)
+    return row.select(
+        "n_pairs_before",
+        "n_pairs_after",
+        "n_truth",
+        "tp_before",
+        "tp_after",
+        F.round(F.col("tp_before") / F.col("n_truth"), 6).alias("pc_before"),
+        F.round(F.col("tp_after") / F.col("n_truth"), 6).alias("pc_after"),
+        F.round(
+            F.lit(1.0) - F.col("n_pairs_after") / F.col("n_pairs_before"), 6
+        ).alias("comparison_reduction"),
+    )
+
+
+def q_meta_blocking_wep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking with Weighted Edge Pruning: weight every blocked
+    candidate pair by its count of shared blocking keys (CBS), prune pairs
+    below the global mean weight (integer-exact threshold), and report the
+    before/after pair counts plus planted-truth pairs completeness — the
+    published meta-blocking evaluation protocol.  The oracle replays the
+    weight graph, the mean-weight prune, and both truth joins."""
+    from liblevenshtein_rust_spark.operators import blocking, dedup
+    from liblevenshtein_rust_spark.session import pooled_persist
+
+    corpus = _planted_corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "doc_id", F.explode(dedup.word_shingles(F.col("text"), 3)).alias("key")
+    )
+    w = pooled_persist(blocking.pair_block_weights(keyed, hot_threshold=200))
+    kept = blocking.meta_block_wep(w)
+    return _meta_block_summary(w, kept, _planted_truth_pairs(spark, sf_dir))
+
+
+def q_meta_blocking_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking with Cardinality Node Pruning: each record keeps its
+    top-5 CBS-weighted neighbors (deterministic tie-break on neighbor id);
+    a pair survives if either endpoint retains it.  Same summary row and
+    truth protocol as the WEP variant — together they cover the two
+    published pruning families (global-threshold vs per-node budget)."""
+    from liblevenshtein_rust_spark.operators import blocking, dedup
+    from liblevenshtein_rust_spark.session import pooled_persist
+
+    corpus = _planted_corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "doc_id", F.explode(dedup.word_shingles(F.col("text"), 3)).alias("key")
+    )
+    w = pooled_persist(blocking.pair_block_weights(keyed, hot_threshold=200))
+    kept = blocking.meta_block_cnp(w, k=5)
+    return _meta_block_summary(w, kept, _planted_truth_pairs(spark, sf_dir))
+
+
 def q_er_pair_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise ER evaluation (precision/recall/F1) of the Jaccard-0.5
     match pairs against the planted duplicate truth — the metric row a
@@ -3037,7 +3110,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_stats": q_media_decode_stats,
     "domain_stats_psl": q_domain_stats_psl,
     "linkage_incremental_mutual": q_linkage_incremental_mutual,
-    # --- changed/touched in round 4 ------------------------------------
+    "meta_blocking_wep": q_meta_blocking_wep,
+    "meta_blocking_cnp": q_meta_blocking_cnp,
+    # --- changed/touched in round 4 (d2/transposition kernel rows yield
+    # their window slots to the new meta-blocking entries: that path keeps
+    # 102 golden tests + the harder r4 fuzzy_query_d3_standard row) ------
     "ann_recall": q_ann_recall,
     "ivf_recall_sweep": q_ivf_recall_sweep,
     "hash_split": q_hash_split,
@@ -5134,6 +5211,107 @@ def _oracle_sql_dict(toks: str, toks_prefix: str) -> dict[str, str]:
                        AS reduction_ratio,
                    round(n_truth_in_candidates / (1.0 * n_truth), 6)
                        AS pairs_completeness
+            FROM m
+        """,
+        # meta-blocking twins: CBS weight graph (shared-key counts over the
+        # hot-key-guarded shingle blocks), then WEP (integer-exact global
+        # mean threshold) / CNP (per-node top-5, union semantics) prune.
+        "meta_blocking_wep": f"""
+            WITH {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM shing WHERE len(sh) > 0),
+            hot AS (SELECT g FROM ex GROUP BY g HAVING count(DISTINCT doc_id) > 200),
+            cold AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot)),
+            pw AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       count(*)::BIGINT AS w
+                FROM cold a JOIN cold b USING (g)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(w) AS s, count(*) AS n FROM pw),
+            kept AS (
+                SELECT left_id, right_id, w FROM pw, tot WHERE w * n >= s
+            ),
+            truth AS (
+                SELECT doc_id AS left_id, doc_id + 100000 AS right_id
+                FROM documents WHERE doc_id < 2000
+            ),
+            m AS (
+                SELECT (SELECT count(*) FROM pw) AS n_pairs_before,
+                       (SELECT count(*) FROM kept) AS n_pairs_after,
+                       (SELECT count(*) FROM truth) AS n_truth,
+                       (SELECT count(*) FROM truth JOIN pw
+                        USING (left_id, right_id)) AS tp_before,
+                       (SELECT count(*) FROM truth JOIN kept
+                        USING (left_id, right_id)) AS tp_after
+            )
+            SELECT n_pairs_before::BIGINT AS n_pairs_before,
+                   n_pairs_after::BIGINT AS n_pairs_after,
+                   n_truth::BIGINT AS n_truth,
+                   tp_before::BIGINT AS tp_before,
+                   tp_after::BIGINT AS tp_after,
+                   round(tp_before / (1.0 * n_truth), 6) AS pc_before,
+                   round(tp_after / (1.0 * n_truth), 6) AS pc_after,
+                   round(1.0 - n_pairs_after / (1.0 * n_pairs_before), 6)
+                       AS comparison_reduction
+            FROM m
+        """,
+        "meta_blocking_cnp": f"""
+            WITH {_CORPUS_CTE},
+            {_SHINGLES_CTE.format(src="corpus")},
+            ex AS (SELECT doc_id, unnest(sh) AS g FROM shing WHERE len(sh) > 0),
+            hot AS (SELECT g FROM ex GROUP BY g HAVING count(DISTINCT doc_id) > 200),
+            cold AS (SELECT * FROM ex WHERE g NOT IN (SELECT g FROM hot)),
+            pw AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       count(*)::BIGINT AS w
+                FROM cold a JOIN cold b USING (g)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            und AS (
+                SELECT left_id AS node, right_id AS nbr, w FROM pw
+                UNION ALL
+                SELECT right_id AS node, left_id AS nbr, w FROM pw
+            ),
+            rk AS (
+                SELECT node, nbr, w,
+                       row_number() OVER (PARTITION BY node
+                           ORDER BY w DESC, nbr ASC) AS r
+                FROM und
+            ),
+            keptp AS (
+                SELECT DISTINCT least(node, nbr) AS left_id,
+                                greatest(node, nbr) AS right_id
+                FROM rk WHERE r <= 5
+            ),
+            kept AS (
+                SELECT left_id, right_id, w FROM keptp JOIN pw
+                USING (left_id, right_id)
+            ),
+            truth AS (
+                SELECT doc_id AS left_id, doc_id + 100000 AS right_id
+                FROM documents WHERE doc_id < 2000
+            ),
+            m AS (
+                SELECT (SELECT count(*) FROM pw) AS n_pairs_before,
+                       (SELECT count(*) FROM kept) AS n_pairs_after,
+                       (SELECT count(*) FROM truth) AS n_truth,
+                       (SELECT count(*) FROM truth JOIN pw
+                        USING (left_id, right_id)) AS tp_before,
+                       (SELECT count(*) FROM truth JOIN kept
+                        USING (left_id, right_id)) AS tp_after
+            )
+            SELECT n_pairs_before::BIGINT AS n_pairs_before,
+                   n_pairs_after::BIGINT AS n_pairs_after,
+                   n_truth::BIGINT AS n_truth,
+                   tp_before::BIGINT AS tp_before,
+                   tp_after::BIGINT AS tp_after,
+                   round(tp_before / (1.0 * n_truth), 6) AS pc_before,
+                   round(tp_after / (1.0 * n_truth), 6) AS pc_after,
+                   round(1.0 - n_pairs_after / (1.0 * n_pairs_before), 6)
+                       AS comparison_reduction
             FROM m
         """,
         "er_pair_metrics": f"""
