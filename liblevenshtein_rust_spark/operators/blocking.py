@@ -428,15 +428,16 @@ def meta_block_cnp(weights: DataFrame, k: int = 5) -> DataFrame:
         )
     )
     win = Window.partitionBy("node").orderBy(F.desc("w"), F.asc("nbr"))
-    kept = (
+    # w is functionally dependent on the pair, so carrying it through the
+    # canonicalize+distinct is exact and saves the join back to `weights`
+    # (one whole shuffle of the kept set).
+    return (
         und.withColumn("_rk", F.row_number().over(win))
         .where(F.col("_rk") <= k)
         .select(
             F.least("node", "nbr").alias("left_id"),
             F.greatest("node", "nbr").alias("right_id"),
+            "w",
         )
         .distinct()
-    )
-    return kept.join(weights, ["left_id", "right_id"]).select(
-        "left_id", "right_id", "w"
     )
