@@ -717,8 +717,18 @@ def main() -> None:
     if time_left() > 60:
         er_mini_reserve = 0.0
         if DO_SCALING and not SCALE_ER:
-            er_mini_reserve = min(max(time_left() - 300.0, 0.0), 320.0)
-            if er_mini_reserve < 215.0:
+            # floor = what the smallest pair actually needs (ER_MINI_SIZES
+            # gate: est_2c + est_8c + 20 slack; the forced-docs path uses
+            # the (260, 110) estimates) — a reserve below that starves the
+            # main worker's second pass AND still skips er-mini
+            need = (
+                390.0
+                if os.environ.get("SPARK_GRAFT_BENCH_ER_MINI_DOCS")
+                else 250.0
+            )
+            cap = 400.0 if need > 320.0 else 320.0
+            er_mini_reserve = min(max(time_left() - 300.0, 0.0), cap)
+            if er_mini_reserve < need:
                 er_mini_reserve = 0.0
         try:
             head = _run_worker(

@@ -191,6 +191,38 @@ def ivf_topk(
     a property of the DATA's cluster structure, not of the index code.
     ``n_cells=None`` derives ~sqrt(N) via :func:`default_n_cells`.
     """
+    _, _, scored = _ivf_scored(
+        queries, corpus, n_cells, nprobe, qid, qvec, cid, cvec
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _ivf_scored(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_cells: int | None,
+    nprobe: int,
+    qid: str,
+    qvec: str,
+    cid: str,
+    cvec: str,
+    persist: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The ONE construction of the IVF probe path — centroids, cell
+    assignment, probe-cell pick, candidate scoring — shared by
+    :func:`ivf_topk` (the shipped index) and :func:`ann_recall` (its
+    gate), so the gate can never drift from the index it measures
+    (round-4 review).  Returns (assigned, probe_cells, scored).
+
+    ``persist=True`` pool-persists assigned + probe_cells for callers
+    that consume them in several branches (the recall gate reads
+    assigned for scoring, cell sizes, and the corpus total)."""
+    from ..session import pooled_persist
+
     if n_cells is None:
         n_cells = default_n_cells(corpus.count())
     cents = _deterministic_centroids(corpus, cid, cvec, n_cells)
@@ -200,17 +232,15 @@ def ivf_topk(
         .where(F.col("probe_rank") <= nprobe)
         .select("query_id", "qv", "cell")
     )
-
+    if persist:
+        assigned = pooled_persist(assigned)
+        probe_cells = pooled_persist(probe_cells)
     scored = F.broadcast(probe_cells).join(assigned, "cell").select(
         "query_id",
         "vec_id",
         F.round(cosine_udf()(F.col("qv"), F.col("cv")), 6).alias("cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return assigned, probe_cells, scored
 
 
 def semantic_dedup(
@@ -336,8 +366,10 @@ def ivf_recall_sweep(
     )
     # cost axis: |cells with probe_rank <= nprobe| summed over sizes / N,
     # averaged over queries — cell sizes from the same assignment table
-    n_total = assigned.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # every vector lands in exactly one cell, so the corpus total is the
+    # sum of the cell sizes — no second full pass over the assignment
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    n_total = sizes.groupBy().agg(F.sum("cell_n").alias("n"))
     cost = (
         ranks.join(F.broadcast(sizes), "cell")
         .crossJoin(F.broadcast(np_df))
@@ -397,18 +429,8 @@ def ann_recall(
     same index meets recall ≥ 0.9 at candidate_frac ≤ 0.25; pick the
     point from :func:`ivf_recall_sweep` per corpus.
     """
-    if n_cells is None:
-        n_cells = default_n_cells(corpus.count())
-    cents = _deterministic_centroids(corpus, cid, cvec, n_cells)
-    assigned = _assign_cells(corpus, cents, cid, cvec).select("vec_id", "cv", "cell")
-    probe_ranks = _probe_cell_ranks(queries, cents, qid, qvec)
-    probe_cells = probe_ranks.where(F.col("probe_rank") <= nprobe).select(
-        "query_id", "qv", "cell"
-    )
-    scored = F.broadcast(probe_cells).join(assigned, "cell").select(
-        "query_id",
-        "vec_id",
-        F.round(cosine_udf()(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    assigned, probe_cells, scored = _ivf_scored(
+        queries, corpus, n_cells, nprobe, qid, qvec, cid, cvec, persist=True
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     approx = (
@@ -428,8 +450,10 @@ def ann_recall(
             F.coalesce(F.sum("_hit"), F.lit(0)) / F.count(F.lit(1)), 6
         ).alias("recall_at_k"),
     )
-    n_total = assigned.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    # every vector lands in exactly one cell, so the corpus total is the
+    # sum of the cell sizes — no second full pass over the assignment
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    n_total = sizes.groupBy().agg(F.sum("cell_n").alias("n"))
     cost_row = (
         probe_cells.join(F.broadcast(sizes), "cell")
         .groupBy("query_id")

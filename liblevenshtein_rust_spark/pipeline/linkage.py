@@ -83,16 +83,40 @@ def cross_vocab_matches(
     vocab_a: DataFrame, vocab_b: DataFrame, cfg: LinkConfig
 ) -> DataFrame:
     """(tok_a, tok_b, distance) for every A-vocab × B-vocab pair within
-    ``max_distance`` — blocked through shared deletion keys, kernel-scored.
-    Exact A∩B tokens fall out of the same join (same keys, distance 0)."""
-    n = max(min(cfg.max_distance, 2), 1)
+    ``max_distance`` — blocked through shared keys, kernel-scored.  Exact
+    A∩B tokens fall out of the same join (same keys, distance 0).
+
+    Key scheme by budget (same dispatch as ``operators/matching.py``):
+    merge/split ops span up to TWO standard edits, so the key budget is
+    ``2 × max_distance`` for that variant; budget ≤ 2 → deletion
+    neighborhood (exact), budget 3 for standard/OSA → ``d3_hybrid_keys``
+    (exact, length-banded).  Anything beyond that envelope RAISES rather
+    than silently losing pairs — the linkage contract promises every
+    within-distance pair, and an incomplete key family would bias the
+    learned EM weights invisibly.
+    """
+    from ..functions.blocking_keys import d3_hybrid_keys
+    from ..kernel.distances import MERGE_AND_SPLIT, STANDARD
+
+    span = 2 if cfg.variant == MERGE_AND_SPLIT else 1
+    budget = max(cfg.max_distance * span, 1)
+    if budget <= 2:
+        keys_of = lambda c: deletion_neighborhood_keys(c, n=budget)  # noqa: E731
+    elif budget == 3 and cfg.variant in (STANDARD, TRANSPOSITION):
+        osa = cfg.variant == TRANSPOSITION
+        keys_of = lambda c: d3_hybrid_keys(c, transposition=osa)  # noqa: E731
+    else:
+        raise ValueError(
+            "cross_vocab_matches has no exact blocking-key scheme for "
+            f"variant={cfg.variant!r} at max_distance={cfg.max_distance} "
+            f"(key budget {budget}); supported: any variant with budget <= 2, "
+            "standard/transposition at 3"
+        )
 
     def keyed(vocab: DataFrame, col: str) -> DataFrame:
         return vocab.select(
             F.col("token").alias(col),
-            F.explode(
-                deletion_neighborhood_keys(F.col("token"), n=n)
-            ).alias("k"),
+            F.explode(keys_of(F.col("token"))).alias("k"),
         ).select(col, F.xxhash64("k").alias("key"))
 
     ka = keyed(vocab_a, "tok_a")
@@ -144,20 +168,26 @@ def link_tables(
     return _assign(score_pairs(a_docs, b_docs, cfg), cfg)
 
 
+def _rank_window(part_col: str, tie_col: str):
+    """THE assignment ordering — (score DESC, n_matched DESC, tie-id ASC)
+    within a partition key.  Single definition shared by the per-A rank,
+    the per-B rank, and the mutual filter, so the mutual identity
+    (mutual = best_per_a ⨝ best_per_b) can never silently break on a
+    one-sided ordering change (round-4 review)."""
+    return Window.partitionBy(part_col).orderBy(
+        F.col("score").desc(), F.col("n_matched").desc(), F.col(tie_col)
+    )
+
+
 def _assign(agg: DataFrame, cfg: LinkConfig) -> DataFrame:
     """Shared assignment tail: score floor → per-A rank (→ per-B rank when
     mutual) — used by both the bag-of-tokens and the field-weighted
     linkage so assignment semantics can never diverge."""
     if cfg.min_score:
         agg = agg.where(F.col("score") >= cfg.min_score)
-    wa = Window.partitionBy("a_id").orderBy(
-        F.col("score").desc(), F.col("n_matched").desc(), F.col("b_id")
-    )
-    out = agg.withColumn("rank", F.row_number().over(wa))
+    out = agg.withColumn("rank", F.row_number().over(_rank_window("a_id", "b_id")))
     if cfg.mutual:
-        wb = Window.partitionBy("b_id").orderBy(
-            F.col("score").desc(), F.col("n_matched").desc(), F.col("a_id")
-        )
+        wb = _rank_window("b_id", "a_id")
         out = (
             out.withColumn("_rb", F.row_number().over(wb))
             .where((F.col("rank") == 1) & (F.col("_rb") == 1))
@@ -360,11 +390,8 @@ def best_per_b(candidates: DataFrame, cfg: LinkConfig | None = None) -> DataFram
     agg = candidates
     if cfg.min_score:
         agg = agg.where(F.col("score") >= cfg.min_score)
-    wb = Window.partitionBy("b_id").orderBy(
-        F.col("score").desc(), F.col("n_matched").desc(), F.col("a_id")
-    )
     return (
-        agg.withColumn("_rb", F.row_number().over(wb))
+        agg.withColumn("_rb", F.row_number().over(_rank_window("b_id", "a_id")))
         .where(F.col("_rb") == 1)
         .drop("_rb")
     )
@@ -628,6 +655,13 @@ def fellegi_sunter_em(
     m = [init_m] * n_fields
     u = [init_u] * n_fields
     pats = sorted(pattern_counts)
+    if not pats:
+        # no blocked pairs at all (disjoint vocabularies / empty side):
+        # return the init parameters so the caller scores an empty
+        # evidence table gracefully — the fixed-weight path returns an
+        # empty linkage on the same input, and the learned path must not
+        # crash where its sibling degrades.
+        return _round9(p), [_round9(x) for x in m], [_round9(x) for x in u]
     for _ in range(n_iter):
         sw = swc = sc = 0.0
         sm = [0.0] * n_fields

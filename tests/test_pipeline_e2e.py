@@ -177,6 +177,37 @@ def test_link_tables_cross_corpus(spark):
     assert all(r["rank"] == 1 for r in got.values())
 
 
+def test_cross_vocab_matches_d3_and_budget_guard(spark):
+    """Round-4 review fix: the vocab join must honor max_distance=3 via
+    d3_hybrid_keys (it used to clamp key depth to 2, silently losing
+    long-token d=3 pairs), and must RAISE outside the exact-key envelope
+    instead of losing pairs silently."""
+    import pytest as _pytest
+
+    from liblevenshtein_rust_spark.kernel.distances import (
+        MERGE_AND_SPLIT,
+        STANDARD,
+    )
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    va = spark.createDataFrame([("projection",)], "token string")
+    vb = spark.createDataFrame(
+        # 3 substitutions on a 10-char token (o→u, c→f, n→m): depth-2
+        # deletion neighborhoods are disjoint, so the old clamp lost it
+        [("prujeftiom",)],
+        "token string",
+    )
+    cfg = linkage.LinkConfig(max_distance=3, variant=STANDARD)
+    got = linkage.cross_vocab_matches(va, vb, cfg).collect()
+    assert [(r.tok_a, r.tok_b, r.distance) for r in got] == [
+        ("projection", "prujeftiom", 3)
+    ]
+    with _pytest.raises(ValueError, match="key budget"):
+        linkage.cross_vocab_matches(
+            va, vb, linkage.LinkConfig(max_distance=2, variant=MERGE_AND_SPLIT)
+        )
+
+
 def test_link_tables_phonetic_channel(spark):
     """A token beyond the edit threshold but phonetically equal (appended
     vowels strip under the skeleton code) links through the phonetic
@@ -424,6 +455,23 @@ def test_link_records_learned_em_planted_truth(spark):
     _, m, u = linkage.fellegi_sunter_em(pats, len(fields))
     wa = [math.log2(m[f] / u[f]) for f in range(len(fields))]
     assert wa[2] > wa[1]  # phone agreement outweighs city agreement
+
+
+def test_link_records_learned_empty_evidence(spark):
+    """Disjoint vocabularies produce zero blocked pairs: the EM must fall
+    back to its init parameters (not ZeroDivisionError) and the learned
+    path must return an empty linkage exactly like the fixed-weight
+    sibling does."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    schema = "doc_id long, name string, city string"
+    a = spark.createDataFrame([(1, "aaaaaaa bbbbbbb", "ccccccc")], schema)
+    b = spark.createDataFrame([(2, "zzzzzzz yyyyyyy", "xxxxxxx")], schema)
+    fields = ["name", "city"]
+    cfg = linkage.LinkConfig(max_distance=1)
+    assert linkage.link_records_learned(a, b, fields, cfg).count() == 0
+    p0, m0, u0 = linkage.fellegi_sunter_em([], len(fields))
+    assert (p0, m0, u0) == (0.1, [0.9, 0.9], [0.1, 0.1])
 
 
 def test_update_assignments_mutual_equals_rebuild(spark):
