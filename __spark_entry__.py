@@ -2015,6 +2015,23 @@ def q_link_records_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _linkage_out_cols(out)
 
 
+def q_link_records_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter DECISION RULE on the learned linkage (1969 Theorem
+    1): per agreement pattern, the EM-learned log-likelihood ratio and
+    the derived band — link / possible / non_link — at false-match /
+    false-non-match budgets mu = lam = 0.05.  Thresholds are DERIVED
+    from the error budgets by integer-space cumulative error masses
+    (pipeline/linkage.fs_decision_bands), not hand-picked; the oracle
+    replays the EM trajectory (shared CTE generator with
+    link_records_learned) and the same integer accumulation."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    a, b = _link_records_fixture(spark, sf_dir)
+    return linkage.link_records_decisions(
+        a, b, ["name", "city", "phone"], linkage.LinkConfig(max_distance=1)
+    )
+
+
 # Shared fixture + token-match CTE prefix for the two field-linkage
 # oracles (fixed-weight and learned) — one definition, no drift.
 _LINK_FIXTURE_CTE = """
@@ -2102,51 +2119,50 @@ _LINK_RECORDS_SQL = f"""
 """
 
 
-def _link_records_learned_sql(n_iter: int = 5) -> str:
-    """Oracle for link_records_learned: the shared fixture CTEs, per-field
-    agreement vectors, pattern counts, then the Fellegi-Sunter EM unrolled
-    as ``n_iter`` chained CTEs — each iteration applies the IDENTICAL
-    clamp (least/greatest on the 0.000001/0.999999 literals) and explicit
-    half-up 9dp rounding (``floor(x*1e9+0.5)/1e9``) the Python EM uses
-    (`pipeline/linkage.fellegi_sunter_em`), so the parameter trajectory is
-    bit-locked across engines — then LLR scoring and the shared ranking."""
-    flds = ["name", "city", "phone"]
+def _fs_r9(e: str) -> str:
+    return f"floor(({e})*1e9 + 0.5)/1e9"
 
-    def r9(e: str) -> str:
-        return f"floor(({e})*1e9 + 0.5)/1e9"
 
-    def clamp(e: str) -> str:
-        return f"least(greatest({e}, 0.000001), 0.999999)"
+def _fs_clamp(e: str) -> str:
+    return f"least(greatest({e}, 0.000001), 0.999999)"
 
-    g_cols = ",\n               ".join(
-        f"max(CASE WHEN field = '{f}' THEN 1 ELSE 0 END) AS g_{f}" for f in flds
-    )
+
+def _fs_em_ctes(flds: list[str], n_iter: int) -> tuple[str, str, str]:
+    """Shared Fellegi-Sunter EM unrolled as chained CTEs (bit-locked
+    clamp + half-up 9dp rounding per iteration) — ONE generator for the
+    learned-linkage oracle and the decision-band oracle, so the replayed
+    trajectory can never drift between them.  Returns (cte_block,
+    pm_expr, pu_expr) where the expressions reference pattern alias ``x``
+    and parameter alias ``it`` (bind ``it`` to ``it{n_iter}`` for
+    post-EM probabilities)."""
+    r9, clamp = _fs_r9, _fs_clamp
     init = (
         "SELECT 0.1::DOUBLE AS p, "
         + ", ".join(f"0.9::DOUBLE AS m_{f}" for f in flds)
         + ", "
         + ", ".join(f"0.1::DOUBLE AS u_{f}" for f in flds)
     )
+    pm = " * ".join(
+        ["it.p"]
+        + [
+            f"(CASE WHEN x.g_{f} = 1 THEN it.m_{f} ELSE 1.0 - it.m_{f} END)"
+            for f in flds
+        ]
+    )
+    pu = " * ".join(
+        ["(1.0 - it.p)"]
+        + [
+            f"(CASE WHEN x.g_{f} = 1 THEN it.u_{f} ELSE 1.0 - it.u_{f} END)"
+            for f in flds
+        ]
+    )
+    gsel = ", ".join(f"x.g_{f}" for f in flds)
+    gcols = ", ".join(f"g_{f}" for f in flds)
     ctes = [f"it0 AS ({init})"]
     for t in range(1, n_iter + 1):
-        pm = " * ".join(
-            ["it.p"]
-            + [
-                f"(CASE WHEN x.g_{f} = 1 THEN it.m_{f} ELSE 1.0 - it.m_{f} END)"
-                for f in flds
-            ]
-        )
-        pu = " * ".join(
-            ["(1.0 - it.p)"]
-            + [
-                f"(CASE WHEN x.g_{f} = 1 THEN it.u_{f} ELSE 1.0 - it.u_{f} END)"
-                for f in flds
-            ]
-        )
-        gsel = ", ".join(f"x.g_{f}" for f in flds)
         ctes.append(
             f"""w{t} AS (
-        SELECT g_name, g_city, g_phone, c, pm / (pm + pu) AS w
+        SELECT {gcols}, c, pm / (pm + pu) AS w
         FROM (
             SELECT {gsel}, x.c, {pm} AS pm, {pu} AS pu
             FROM pc x, it{t - 1} it
@@ -2168,17 +2184,31 @@ def _link_records_learned_sql(n_iter: int = 5) -> str:
         FROM w{t}
     )"""
         )
+    return ",\n    ".join(ctes), pm, pu
+
+
+def _link_records_learned_sql(n_iter: int = 5) -> str:
+    """Oracle for link_records_learned: the shared fixture CTEs, per-field
+    agreement vectors, pattern counts, then the Fellegi-Sunter EM unrolled
+    via :func:`_fs_em_ctes` (bit-locked trajectory), then LLR scoring and
+    the shared ranking."""
+    flds = ["name", "city", "phone"]
+    r9 = _fs_r9
+    g_cols = ",\n               ".join(
+        f"max(CASE WHEN field = '{f}' THEN 1 ELSE 0 END) AS g_{f}" for f in flds
+    )
+    em_ctes, _, _ = _fs_em_ctes(flds, n_iter)
     wa_cols = ",\n               ".join(
         r9(f"log2(m_{f} / u_{f})") + f" AS wa_{f}" for f in flds
     )
     wd_cols = ",\n               ".join(
-        r9(f"log2((1.0 - m_{f}) / (1.0 - u_{f}))") + f" AS wd_{f}" for f in flds
+        r9(f"log2((1.0 - m_{f}) / (1.0 - u_{f}))") + f" AS wd_{f}"
+        for f in flds
     )
     score_terms = "\n                 + ".join(
         f"(CASE WHEN g.g_{f} = 1 THEN wt.wa_{f} ELSE wt.wd_{f} END)" for f in flds
     )
     n_terms = " + ".join(f"g.g_{f}" for f in flds)
-    em_ctes = ",\n    ".join(ctes)
     return f"""
     WITH {_LINK_FIXTURE_CTE},
     ag AS (
@@ -2215,6 +2245,86 @@ def _link_records_learned_sql(n_iter: int = 5) -> str:
                    ORDER BY score DESC, n_matched DESC, b_id) AS rank
         FROM scored
     ) WHERE rank = 1
+    """
+
+
+def _link_records_decisions_sql(
+    n_iter: int = 5, mu: float = 0.05, lam: float = 0.05
+) -> str:
+    """Oracle for link_records_decisions: same fixture + pattern counts +
+    EM trajectory as the learned oracle (ONE generator — _fs_em_ctes),
+    then the FS decision rule replayed with INTEGER cumulative sums:
+    P(gamma|M) / P(gamma|U) scaled by 1e9 and half-up rounded to BIGINT
+    before the window accumulation, so the running error masses are exact
+    and order-independent — a window sum cannot disagree with the
+    engine's sequential loop (pipeline/linkage.fs_decision_bands)."""
+    import math
+
+    flds = ["name", "city", "phone"]
+    r9 = _fs_r9
+    g_cols = ",\n               ".join(
+        f"max(CASE WHEN field = '{f}' THEN 1 ELSE 0 END) AS g_{f}" for f in flds
+    )
+    em_ctes, _, _ = _fs_em_ctes(flds, n_iter)
+    # CONDITIONAL pattern probabilities P(gamma|M), P(gamma|U) — the EM
+    # iteration's pm/pu are the JOINT p-weighted terms; the decision
+    # rule's error masses must not carry the mixing proportion
+    pm = " * ".join(
+        f"(CASE WHEN x.g_{f} = 1 THEN it.m_{f} ELSE 1.0 - it.m_{f} END)"
+        for f in flds
+    )
+    pu = " * ".join(
+        f"(CASE WHEN x.g_{f} = 1 THEN it.u_{f} ELSE 1.0 - it.u_{f} END)"
+        for f in flds
+    )
+    mu9 = math.floor(mu * 1e9 + 0.5)
+    lam9 = math.floor(lam * 1e9 + 0.5)
+    desc_order = ", ".join(["llr DESC"] + [f"g_{f} DESC" for f in flds])
+    asc_order = ", ".join(["llr ASC"] + [f"g_{f} ASC" for f in flds])
+    gcols = ", ".join(f"g_{f}" for f in flds)
+    gcols_int = ", ".join(f"g_{f}::INT AS g_{f}" for f in flds)
+    return f"""
+    WITH {_LINK_FIXTURE_CTE},
+    ag AS (
+        SELECT DISTINCT ra.a_id, rb.b_id, ra.field
+        FROM ra JOIN tm ON ra.token = tm.tok_a
+                JOIN rb ON rb.token = tm.tok_b AND rb.field = ra.field
+    ),
+    g AS (
+        SELECT a_id, b_id,
+               {g_cols}
+        FROM ag GROUP BY a_id, b_id
+    ),
+    pc AS (
+        SELECT g_name, g_city, g_phone, count(*)::DOUBLE AS c
+        FROM g GROUP BY g_name, g_city, g_phone
+    ),
+    {em_ctes},
+    pat AS (
+        SELECT {gcols}, c,
+               {r9("log2(pgm / pgu)")} AS llr,
+               floor(pgm*1e9 + 0.5)::BIGINT AS pgm9,
+               floor(pgu*1e9 + 0.5)::BIGINT AS pgu9
+        FROM (
+            SELECT {gcols}, x.c, {pm} AS pgm, {pu} AS pgu
+            FROM pc x, it{n_iter} it
+        )
+    ),
+    ord AS (
+        SELECT *,
+               sum(pgu9) OVER (ORDER BY {desc_order}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_u9,
+               sum(pgm9) OVER (ORDER BY {asc_order}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_m9
+        FROM pat
+    )
+    SELECT {gcols_int}, c::BIGINT AS c, llr,
+           CASE WHEN cum_u9 <= {mu9} THEN 'link'
+                WHEN cum_m9 <= {lam9} THEN 'non_link'
+                ELSE 'possible' END AS band
+    FROM ord
     """
 
 
@@ -3112,6 +3222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "linkage_incremental_mutual": q_linkage_incremental_mutual,
     "meta_blocking_wep": q_meta_blocking_wep,
     "meta_blocking_cnp": q_meta_blocking_cnp,
+    "link_records_decisions": q_link_records_decisions,
     # --- changed/touched in round 4 (d2/transposition kernel rows yield
     # their window slots to the new meta-blocking entries: that path keeps
     # 102 golden tests + the harder r4 fuzzy_query_d3_standard row) ------
@@ -3733,6 +3844,7 @@ def oracle_sql() -> dict[str, str]:
     out["url_dedup"] = _URL_DEDUP_SQL
     out["link_records_weighted"] = _LINK_RECORDS_SQL
     out["link_records_learned"] = _link_records_learned_sql()
+    out["link_records_decisions"] = _link_records_decisions_sql()
     out["media_decode_features"], out["media_decode_stats"] = _media_decode_sqls()
     out["domain_stats"] = _DOMAIN_STATS_SQL
     out["domain_stats_psl"] = _domain_stats_psl_sql()

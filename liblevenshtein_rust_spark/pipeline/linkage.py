@@ -464,6 +464,123 @@ def update_assignments_mutual(
     return new_a.drop("_new"), new_b.drop("_new"), assignment
 
 
+def fs_decision_bands(
+    pattern_counts: list[tuple[tuple[int, ...], int]],
+    m: list[float],
+    u: list[float],
+    mu: float = 0.05,
+    lam: float = 0.05,
+) -> list[tuple[tuple[int, ...], int, float, str]]:
+    """The Fellegi-Sunter OPTIMAL DECISION RULE (Fellegi & Sunter 1969,
+    Theorem 1): order the agreement patterns by likelihood ratio, take
+    patterns from the top into the LINK set while the accumulated
+    false-match mass Σ P(γ|U) stays ≤ ``mu``, from the bottom into the
+    NON-LINK set while the accumulated false-non-match mass Σ P(γ|M)
+    stays ≤ ``lam``; everything between is POSSIBLE (clerical review).
+    This is the canonical 1969 completion of the EM-learned m/u story:
+    the error bounds are chosen, the thresholds are DERIVED.
+
+    Cross-engine determinism: P(γ|M) / P(γ|U) are products of the
+    bit-locked EM parameters; the cumulative sums run in INTEGER space
+    (probabilities scaled by 1e9 and half-up rounded to BIGINT), so the
+    accumulation is exact and order-independent — a DuckDB window sum and
+    this sequential loop cannot disagree.  Ordering ties break on the
+    pattern vector itself (DESC on the link side, ASC on the non-link
+    side), mirrored in the oracle's ORDER BY.
+
+    Driver-side like the EM: the pattern table is ≤ 2^F rows.
+
+    Returns [(gamma, count, llr, band)] with band ∈ link / possible /
+    non_link.
+    """
+    import math
+
+    n_fields = len(m)
+    rows = []
+    for gamma, c in sorted(pattern_counts):
+        pgm = pgu = 1.0
+        for f in range(n_fields):
+            pgm *= m[f] if gamma[f] else 1.0 - m[f]
+            pgu *= u[f] if gamma[f] else 1.0 - u[f]
+        rows.append(
+            {
+                "gamma": gamma,
+                "c": c,
+                "llr": _round9(math.log2(pgm / pgu)),
+                "pgm9": math.floor(pgm * 1e9 + 0.5),
+                "pgu9": math.floor(pgu * 1e9 + 0.5),
+            }
+        )
+    mu9 = math.floor(mu * 1e9 + 0.5)
+    lam9 = math.floor(lam * 1e9 + 0.5)
+    cum = 0
+    for r in sorted(
+        rows, key=lambda r: (-r["llr"], tuple(-g for g in r["gamma"]))
+    ):
+        cum += r["pgu9"]
+        r["cum_u9"] = cum
+    cum = 0
+    for r in sorted(rows, key=lambda r: (r["llr"], r["gamma"])):
+        cum += r["pgm9"]
+        r["cum_m9"] = cum
+    out = []
+    for r in rows:
+        band = (
+            "link"
+            if r["cum_u9"] <= mu9
+            else "non_link"
+            if r["cum_m9"] <= lam9
+            else "possible"
+        )
+        out.append((r["gamma"], r["c"], r["llr"], band))
+    return out
+
+
+def link_records_decisions(
+    a_recs: DataFrame,
+    b_recs: DataFrame,
+    fields: list[str],
+    cfg: LinkConfig | None = None,
+    n_iter: int = 5,
+    mu: float = 0.05,
+    lam: float = 0.05,
+) -> DataFrame:
+    """Per-pattern FS decision table over the blocked candidate pairs:
+    (g_<field>..., c, llr, band) — the triage a production linkage ships
+    alongside its assignment (how many pairs auto-link, how many need
+    clerical review, at which learned LLR cut).  Same blocked evidence,
+    EM fit, and determinism contract as :func:`link_records_learned`;
+    the band rule is :func:`fs_decision_bands`.
+
+    Scale: one groupBy to pattern counts (≤ 2^F rows), driver-side EM +
+    band rule over those rows — cost identical to the learned path's
+    weight fit; the result is field-count-bounded, not data-bounded.
+    """
+    cfg = cfg or LinkConfig()
+    if not fields:
+        raise ValueError("fields must be non-empty")
+    from ..session import pooled_persist
+
+    g = pooled_persist(field_agreements(a_recs, b_recs, fields, cfg))
+    gcols = [f"g_{f}" for f in fields]
+    counts = g.groupBy(*gcols).agg(F.count(F.lit(1)).alias("c")).collect()
+    pattern_counts = [
+        (tuple(int(r[c]) for c in gcols), int(r["c"])) for r in counts
+    ]
+    _, m, u = fellegi_sunter_em(pattern_counts, len(fields), n_iter=n_iter)
+    bands = fs_decision_bands(pattern_counts, m, u, mu=mu, lam=lam)
+    spark = a_recs.sparkSession
+    rows = [
+        tuple(int(x) for x in gamma) + (int(c), float(llr), band)
+        for gamma, c, llr, band in bands
+    ]
+    schema = (
+        ", ".join(f"{c} int" for c in gcols)
+        + ", c bigint, llr double, band string"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def _field_tokens(
     recs: DataFrame, fields: dict[str, float], cfg: LinkConfig, id_alias: str
 ) -> DataFrame:

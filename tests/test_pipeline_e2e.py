@@ -474,6 +474,43 @@ def test_link_records_learned_empty_evidence(spark):
     assert (p0, m0, u0) == (0.1, [0.9, 0.9], [0.1, 0.1])
 
 
+def test_fs_decision_bands_hand_computed():
+    """FS decision rule on a hand-solved 2-field pattern table:
+    P(g|M)/(g|U) products, mu/lam error budgets, band boundaries."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    m, u = [0.9, 0.8], [0.1, 0.2]
+    pats = [((1, 1), 10), ((1, 0), 5), ((0, 0), 100)]
+    out = {
+        gamma: band
+        for gamma, _, _, band in linkage.fs_decision_bands(
+            pats, m, u, mu=0.05, lam=0.05
+        )
+    }
+    # P(g|U): (1,1)=.02<=mu -> link; asc P(g|M): (0,0)=.02<=lam ->
+    # non_link; (1,0) fails both budgets -> possible
+    assert out == {(1, 1): "link", (1, 0): "possible", (0, 0): "non_link"}
+    llrs = {
+        gamma: llr
+        for gamma, _, llr, _ in linkage.fs_decision_bands(pats, m, u)
+    }
+    import math
+
+    assert abs(llrs[(1, 1)] - math.log2(36.0)) < 1e-9
+    assert abs(llrs[(0, 0)] - math.log2(1.0 / 36.0)) < 1e-9
+
+
+def test_fs_decision_bands_budget_zero_all_clerical():
+    """mu=lam=0: nothing can enter either decided band — every pattern
+    is clerical, the conservative degenerate point of the rule."""
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    out = linkage.fs_decision_bands(
+        [((1,), 3), ((0,), 7)], [0.9], [0.1], mu=0.0, lam=0.0
+    )
+    assert {band for _, _, _, band in out} == {"possible"}
+
+
 def test_update_assignments_mutual_equals_rebuild(spark):
     """Round-4 mutual incremental path: folding a B delta into the two
     standing tables must produce EXACTLY the mutual assignment of a full
