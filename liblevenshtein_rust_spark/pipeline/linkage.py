@@ -8,9 +8,11 @@ Same engineering altitude as the ER pipeline, restated for two sides:
 - **Vocabulary-level matching, cross form**: the two RARE-token
   vocabularies are joined through shared deletion-neighborhood keys —
   an A-vocab × B-vocab blocked join (no self-join, no canonicalization,
-  no triangle salting: the sides are disjoint by construction).  Deletion
-  blocking is exact for d ≤ 2 (``functions/blocking_keys.py``), so no
-  recall is lost vs the reference's trie-intersection traversal
+  no triangle salting: the sides are disjoint by construction).  The key
+  scheme is budget-dispatched like ``operators/matching.py`` — deletion
+  neighborhood (exact for budget ≤ 2), the d3 hybrid for standard/OSA at
+  distance 3, and a RAISE outside the exact envelope — so no recall is
+  lost vs the reference's trie-intersection traversal
   (``dictionary/dawg.rs``).
 - **Evidence join bounded by max_df per side**: each matched token pair
   touches ≤ max_df_a × max_df_b doc pairs — linear in vocabulary, never
