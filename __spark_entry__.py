@@ -3177,6 +3177,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- round-4 driver-budget front block (task 8 rotation): the 34
     # entries whose last driver row is r2, then the round-4 additions,
     # then round-4-touched entries needing a fresh driver row ----------
+    # ROUND-5 ROTATION NOTE: the driver checks the FIRST 50 entries.  At
+    # 95 entries, the r4 window ends after link_records_weighted; rotate
+    # round 5 so the entries below it (mitton_blocked_recall onward —
+    # last driver row r3) move to the front, and the r2/r4-refreshed
+    # block above moves behind them.
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "lsh_embedding_near_pairs": q_lsh_embedding_near_pairs,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
