@@ -2265,10 +2265,11 @@ def _link_records_decisions_sql(
     g_cols = ",\n               ".join(
         f"max(CASE WHEN field = '{f}' THEN 1 ELSE 0 END) AS g_{f}" for f in flds
     )
-    em_ctes, _, _ = _fs_em_ctes(flds, n_iter)
+    em_ctes, pm_joint, pu_joint = _fs_em_ctes(flds, n_iter)
     # CONDITIONAL pattern probabilities P(gamma|M), P(gamma|U) — the EM
     # iteration's pm/pu are the JOINT p-weighted terms; the decision
-    # rule's error masses must not carry the mixing proportion
+    # rule's error masses must not carry the mixing proportion (the
+    # posterior column, by contrast, wants exactly the joint terms)
     pm = " * ".join(
         f"(CASE WHEN x.g_{f} = 1 THEN it.m_{f} ELSE 1.0 - it.m_{f} END)"
         for f in flds
@@ -2304,9 +2305,11 @@ def _link_records_decisions_sql(
         SELECT {gcols}, c,
                {r9("log2(pgm / pgu)")} AS llr,
                floor(pgm*1e9 + 0.5)::BIGINT AS pgm9,
-               floor(pgu*1e9 + 0.5)::BIGINT AS pgu9
+               floor(pgu*1e9 + 0.5)::BIGINT AS pgu9,
+               {r9("pmj / (pmj + puj)")} AS posterior
         FROM (
-            SELECT {gcols}, x.c, {pm} AS pgm, {pu} AS pgu
+            SELECT {gcols}, x.c, {pm} AS pgm, {pu} AS pgu,
+                   {pm_joint} AS pmj, {pu_joint} AS puj
             FROM pc x, it{n_iter} it
         )
     ),
@@ -2323,7 +2326,8 @@ def _link_records_decisions_sql(
     SELECT {gcols_int}, c::BIGINT AS c, llr,
            CASE WHEN cum_u9 <= {mu9} THEN 'link'
                 WHEN cum_m9 <= {lam9} THEN 'non_link'
-                ELSE 'possible' END AS band
+                ELSE 'possible' END AS band,
+           posterior
     FROM ord
     """
 

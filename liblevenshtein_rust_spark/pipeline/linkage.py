@@ -569,16 +569,28 @@ def link_records_decisions(
     pattern_counts = [
         (tuple(int(r[c]) for c in gcols), int(r["c"])) for r in counts
     ]
-    _, m, u = fellegi_sunter_em(pattern_counts, len(fields), n_iter=n_iter)
+    p_m, m, u = fellegi_sunter_em(pattern_counts, len(fields), n_iter=n_iter)
     bands = fs_decision_bands(pattern_counts, m, u, mu=mu, lam=lam)
+    # calibrated posterior P(M|gamma) = p*P(g|M) / (p*P(g|M)+(1-p)*P(g|U))
+    # — the third leg of the FS triad (learned weights -> decision bands ->
+    # match probabilities a downstream consumer can threshold or average)
+    def posterior(gamma: tuple[int, ...]) -> float:
+        pm = p_m
+        pu = 1.0 - p_m
+        for f in range(len(fields)):
+            pm *= m[f] if gamma[f] else 1.0 - m[f]
+            pu *= u[f] if gamma[f] else 1.0 - u[f]
+        return _round9(pm / (pm + pu))
+
     spark = a_recs.sparkSession
     rows = [
-        tuple(int(x) for x in gamma) + (int(c), float(llr), band)
+        tuple(int(x) for x in gamma)
+        + (int(c), float(llr), band, posterior(gamma))
         for gamma, c, llr, band in bands
     ]
     schema = (
         ", ".join(f"{c} int" for c in gcols)
-        + ", c bigint, llr double, band string"
+        + ", c bigint, llr double, band string, posterior double"
     )
     return spark.createDataFrame(rows, schema)
 

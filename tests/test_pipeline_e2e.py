@@ -500,6 +500,48 @@ def test_fs_decision_bands_hand_computed():
     assert abs(llrs[(0, 0)] - math.log2(1.0 / 36.0)) < 1e-9
 
 
+def test_link_records_decisions_planted(spark):
+    """Decision-table gate on the planted-twin fixture: posteriors are
+    valid probabilities, monotone in LLR, and the all-agree pattern is an
+    auto-link with posterior ~1 while its band survives the error
+    budgets."""
+    import hashlib
+
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    def h(x):
+        return hashlib.md5(x.encode()).hexdigest()
+
+    n = 60
+    a = spark.createDataFrame(
+        [
+            (i, f"fn{h(f'{i}n')[:5]} ln{h(f'{i}m')[:5]}", f"city{i % 10}",
+             f"p{h(f'{i}p')[:6]}")
+            for i in range(n)
+        ],
+        "doc_id long, name string, city string, phone string",
+    )
+    b = spark.createDataFrame(
+        [
+            (1000 + i,
+             f"fn{h(f'{i}n')[:1]}{h(f'{i}n')[2:5]} ln{h(f'{i}m')[:5]}",
+             f"city{i % 10}", f"p{h(f'{i}p')[:6]}")
+            for i in range(n)
+        ],
+        "doc_id long, name string, city string, phone string",
+    )
+    rows = linkage.link_records_decisions(
+        a, b, ["name", "city", "phone"], linkage.LinkConfig(max_distance=1)
+    ).collect()
+    assert rows
+    by_llr = sorted(rows, key=lambda r: r["llr"])
+    posts = [r["posterior"] for r in by_llr]
+    assert all(0.0 <= x <= 1.0 for x in posts)
+    assert posts == sorted(posts)  # posterior monotone in LLR
+    full = [r for r in rows if (r.g_name, r.g_city, r.g_phone) == (1, 1, 1)]
+    assert full and full[0]["band"] == "link" and full[0]["posterior"] > 0.99
+
+
 def test_fs_decision_bands_budget_zero_all_clerical():
     """mu=lam=0: nothing can enter either decided band — every pattern
     is clerical, the conservative degenerate point of the rule."""
