@@ -51,7 +51,7 @@ def candidate_pairs(
     candidate_cap: int | None = None,
     use_deletion_keys: bool = True,
     key_budget: int | None = None,
-    variant: str = STANDARD,
+    variant: str | None = None,
 ) -> DataFrame:
     """Join probes to dictionary on shared blocking keys.
 
@@ -71,9 +71,22 @@ def candidate_pairs(
     Returns distinct (probe_col, term_col) candidate pairs.  ``candidate_cap``
     truncates per-key candidate lists (logged via a `truncated` marker column
     aggregated by the caller) — the explosion guard SURVEY.md §4 item 4.
+
+    ``variant`` defaults to Standard, EXCEPT at effective budget 3 where the
+    d3 band constants differ per variant (3 transpositions can kill up to 9
+    2-grams — the OSA band is wider): there the caller must pass its actual
+    variant explicitly or this raises, so a transposition caller can never
+    silently get the narrower Standard band (ADVICE r4).
     """
     n = max_distance
     kb = key_budget if key_budget is not None else n
+    if kb == 3 and variant is None:
+        raise ValueError(
+            "candidate_pairs with an effective key budget of 3 requires an "
+            "explicit variant= (the d=3 hybrid band constants are "
+            "variant-specific; Standard's band is incomplete for OSA)"
+        )
+    variant = STANDARD if variant is None else variant
     if use_deletion_keys and kb <= 2:
         pkeys = deletion_neighborhood_keys(F.col(probe_col), n=min(kb, 2) or 1)
         dkeys = deletion_neighborhood_keys(F.col(term_col), n=min(kb, 2) or 1)

@@ -87,6 +87,11 @@ def _parse_ppm(data: bytes) -> tuple[int, int, int, bytes]:
         fields.append(int(data[start:pos]))
     pos += 1  # the single whitespace byte after maxval
     w, h, maxval = fields
+    if not 1 <= maxval <= 255:
+        # 16-bit P6 (maxval > 255) is 2 bytes/sample — slicing w*h*3 would
+        # silently mis-decode it into wrong pixel stats (ADVICE r4); keep
+        # the decode boundary explicit.
+        raise ValueError(f"unsupported PPM maxval {maxval} (only 1..255)")
     pixels = data[pos : pos + w * h * 3]
     if len(pixels) != w * h * 3:
         raise ValueError("truncated PPM pixel data")
@@ -266,8 +271,13 @@ def media_stats(docs: DataFrame, partitions: int | None = None) -> DataFrame:
                     base.update(
                         n_samples=meta["n_samples"],
                         framerate=meta["framerate"],
-                        mean_abs=round(int(np.abs(s).sum()) / len(s), 6),
-                        peak=int(np.abs(s).max()),
+                        # a valid zero-frame WAV has no samples: emit nulls
+                        # instead of ZeroDivisionError-ing the whole stage
+                        # on one degenerate asset (ADVICE r4)
+                        mean_abs=(
+                            round(int(np.abs(s).sum()) / len(s), 6) if len(s) else None
+                        ),
+                        peak=int(np.abs(s).max()) if len(s) else None,
                     )
                 rows.append(base)
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_STATS_SCHEMA])

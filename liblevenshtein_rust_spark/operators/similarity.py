@@ -173,7 +173,7 @@ def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 4,
     qid: str = "query_id",
     qvec: str = "query_vec",

@@ -416,10 +416,13 @@ def update_assignments_mutual(
     - per-A best: the existing strictly-better displacement merge
       (:func:`_merge_standing`) — delta-sized work;
     - per-B best: an OLD B's best A never changes (its candidate set is
-      untouched by new B records), so the standing per-B table is simply
-      UNIONED with the delta's best-per-B reduction — no cross-A
-      resolution pass over old state at all, which is why this is a
-      delta merge and not the rebuild the round-3 raise feared.
+      untouched by new B records), so the standing per-B table is the
+      UNION with the delta's best-per-B reduction, passed through one
+      b_id-keyed rank-1 window that enforces the one-row-per-b_id
+      invariant (pass-through on well-formed disjoint inputs; resolves
+      malformed/overlapping ones deterministically) — no cross-A
+      rescoring of old state, which is why this is a delta merge and
+      not the rebuild the round-3 raise feared.
 
     Inputs: ``standing_a`` = best-per-A rows (a_id, b_id, n_matched,
     score; `link_tables(..., mutual=False)` output), ``standing_b`` =
@@ -439,9 +442,10 @@ def update_assignments_mutual(
     rebuild).
 
     Scale: scoring ∝ delta (blocked vocab x vocab); the a-side merge is
-    one a_id-keyed join; the b-side is a union (no shuffle of old state);
-    the mutual join is keyed on (a_id, b_id) over two rank-1 tables —
-    each orders smaller than the candidate table.
+    one a_id-keyed join; the b-side is a union + one b_id-keyed rank-1
+    window (same order of work as the a-side merge join); the mutual
+    join is keyed on (a_id, b_id) over two rank-1 tables — each orders
+    smaller than the candidate table.
     """
     from dataclasses import replace
 
@@ -456,9 +460,33 @@ def update_assignments_mutual(
     delta_b = best_per_b(delta_scores, base).select(
         "a_id", "b_id", "n_matched", "score", F.lit(True).alias("_new")
     )
-    new_b = standing_b.select(
-        "a_id", "b_id", "n_matched", "score", F.lit(False).alias("_new")
-    ).unionByName(delta_b)
+    # Per-B invariant enforcement (ADVICE r4 + VERDICT r4 task 6): a raw
+    # union trusts the caller twice — that standing_b has one row per b_id
+    # AND that the delta's b_ids are disjoint from it.  Either violation
+    # fans out through the mutual inner join below into duplicate
+    # "one-to-one" assignments.  Resolve both with the SAME deterministic
+    # rank-1 the per-B reduction uses (`_rank_window("b_id", "a_id")` —
+    # score DESC, n_matched DESC, a_id ASC, matching the batch rebuild's
+    # tie rule), `_new` DESC as the final exact-duplicate tiebreak.  On
+    # well-formed disjoint inputs every b_id partition has one row and the
+    # window is a pure pass-through; cost is one b_id-keyed shuffle of
+    # standing ∪ delta — the same order as the a-side `_merge_standing`
+    # join, still delta-proportional in rows scored.
+    bw = Window.partitionBy("b_id").orderBy(
+        F.col("score").desc(),
+        F.col("n_matched").desc(),
+        F.col("a_id").asc(),
+        F.col("_new").desc(),
+    )
+    new_b = (
+        standing_b.select(
+            "a_id", "b_id", "n_matched", "score", F.lit(False).alias("_new")
+        )
+        .unionByName(delta_b)
+        .withColumn("_rb", F.row_number().over(bw))
+        .where(F.col("_rb") == 1)
+        .drop("_rb")
+    )
     assignment = (
         new_a.join(new_b.select("a_id", "b_id"), ["a_id", "b_id"], "inner")
         .select("a_id", "b_id", "n_matched", "score", "changed")

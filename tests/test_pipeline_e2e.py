@@ -606,3 +606,66 @@ def test_update_assignments_mutual_equals_rebuild(spark):
     # contention actually happened: for i % 30 == 0 both a=i and
     # a=50000+i prefer the delta copy; mutual keeps only the smaller
     assert (0, 300000) in got and all(a_ != 50000 for a_, _ in got)
+
+
+def test_update_assignments_mutual_enforces_b_invariant(spark):
+    """Round-5 (VERDICT r4 task 6 + ADVICE): the mutual delta merge must
+    not TRUST its two caller invariants — standing_b one-row-per-b_id and
+    delta b_ids disjoint from standing_b.  Feed it a standing_b with a
+    planted duplicate b_id row AND a delta that re-delivers an existing
+    b_id: the per-B rank-1 enforcement must resolve both deterministically
+    (score DESC, n_matched DESC, a_id ASC — the batch rebuild's tie rule)
+    instead of fanning duplicate 'one-to-one' assignments out of the
+    mutual inner join."""
+    import hashlib
+
+    from liblevenshtein_rust_spark.pipeline import linkage
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()[:8]
+
+    n = 24
+    a_rows = [(i, f"{h(f'{i}a')} {h(f'{i}b')} {h(f'{i}c')}") for i in range(n)]
+    b0_rows = [
+        (100000 + i, f"{h(f'{i}a')[:3]}{h(f'{i}a')[4:8]} {h(f'{i}b')} {h(f'{i}c')}")
+        for i in range(n) if i % 2 == 0
+    ]
+    # delta VIOLATES disjointness: re-delivers b_id 100000 (an exact copy
+    # of A row 0's text, strictly better than the standing typo twin) plus
+    # one genuinely new record
+    delta_rows = [
+        (100000, f"{h('0a')} {h('0b')} {h('0c')}"),
+        (300001, f"{h('1a')} {h('1b')} {h('1c')}"),
+    ]
+    schema = "doc_id long, text string"
+    a = spark.createDataFrame(a_rows, schema)
+    b0 = spark.createDataFrame(b0_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    cfg = linkage.LinkConfig(max_distance=1, mutual=True)
+    from dataclasses import replace
+
+    base = replace(cfg, mutual=False)
+    scores0 = linkage.score_pairs(a, b0, base)
+    standing_a = linkage.best_per_a(scores0, base)
+    standing_b = linkage.best_per_b(scores0, base)
+    # VIOLATE the shape invariant too: duplicate a standing_b row with a
+    # different (worse) a_id so a naive union would fan out b_id 100002
+    dup = standing_b.where(F.col("b_id") == 100002).select(
+        (F.col("a_id") + 7000).alias("a_id"), "b_id",
+        F.lit(0).alias("n_matched"), F.lit(-1.0).alias("score"),
+    )
+    malformed_b = standing_b.unionByName(dup)
+    new_a, new_b, assign = linkage.update_assignments_mutual(
+        standing_a, malformed_b, a, delta, cfg
+    )
+    b_rows = new_b.collect()
+    # one row per b_id survived enforcement (dup resolved AND overlap merged)
+    assert len(b_rows) == len({r["b_id"] for r in b_rows})
+    # the overlapping b_id resolved to the delta's strictly-better exact copy
+    winner = {r["b_id"]: r for r in b_rows}[100000]
+    assert winner["a_id"] == 0 and winner["n_matched"] == 3
+    got = {(r["a_id"], r["b_id"]) for r in assign.collect()}
+    assert len(got) == len({a_ for a_, _ in got})  # still one-to-one per A
+    assert len(got) == len({b_ for _, b_ in got})  # still one-to-one per B
+    # the planted worse duplicate never surfaces in the assignment
+    assert all(a_ < 7000 for a_, _ in got)
