@@ -2508,6 +2508,9 @@ def q_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MITTON_MINI = str(Path(__file__).resolve().parent / "data/corpora/mini_mitton.dat")
 _TYPO_CORPUS = str(Path(__file__).resolve().parent / "data/corpora/typo_corpus.dat")
+_TYPO_CORPUS_OSA = str(
+    Path(__file__).resolve().parent / "data/corpora/typo_corpus_osa.dat"
+)
 
 
 def q_mitton_blocked_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2543,7 +2546,28 @@ def q_typo_corpus_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.blocked_misspelling_recall(pairs, 3, variant="standard")
 
 
-def _corpus_recall_sql(path: str, max_d: int) -> str:
+def q_typo_corpus_recall_osa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@d over the committed SWAP-PLANTED corpus (2,181 pairs at
+    verified exact OSA distances 1/2/3, every misspelling carrying a
+    surviving adjacent transposition — standard distance strictly greater
+    than the OSA band for all pairs, `scripts/gen_typo_corpus_osa.py`)
+    through the FULL blocked TRANSPOSITION path at n=3: the OSA flavor of
+    `d3_hybrid_keys` (wider band — 3 transpositions can kill up to 9
+    2-grams) + the OSA kernel.  Closes VERDICT r4 task 7: the d=3 OSA
+    band's exactness now has an oracle row, not just the pytest
+    completeness gate.  Every pair is generation-verified to agree with
+    UNRESTRICTED Damerau (DuckDB's damerau_levenshtein), so the oracle
+    recomputes the bands independently; a Standard-instead-of-OSA scoring
+    bug would push every pair past its band (std > osa by construction)
+    and collapse recall — the gate discriminates variant, blocking, and
+    parser drift alike."""
+    from liblevenshtein_rust_spark.sources import corpus
+
+    pairs = corpus.load_mitton_pairs(spark, _TYPO_CORPUS_OSA)
+    return corpus.blocked_misspelling_recall(pairs, 3, variant="transposition")
+
+
+def _corpus_recall_sql(path: str, max_d: int, fn: str = "levenshtein") -> str:
     """Oracle for the blocked-recall queries: parse the SAME committed file
     with the reference's line semantics (parser.rs:208-219 — first token is
     the misspelling, optional second token the frequency, default 1) and
@@ -2584,7 +2608,7 @@ def _corpus_recall_sql(path: str, max_d: int) -> str:
         ),
         scored AS (
             SELECT correct, misspelling, freq,
-                   levenshtein(misspelling, correct) AS distance
+                   {fn}(misspelling, correct) AS distance
             FROM pairs
         )
         SELECT count(*)::BIGINT AS n_pairs,
@@ -3178,72 +3202,20 @@ def q_session_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 # newest entries fell past the budget and stayed driver-unchecked).  New
 # operators go at the TOP; long-green veterans at the bottom.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- round-4 driver-budget front block (task 8 rotation): the 34
-    # entries whose last driver row is r2, then the round-4 additions,
-    # then round-4-touched entries needing a fresh driver row ----------
-    # ROUND-5 ROTATION NOTE: the driver checks the FIRST 50 entries.  At
-    # 95 entries, the r4 window ends after link_records_weighted; rotate
-    # round 5 so the entries below it (mitton_blocked_recall onward —
-    # last driver row r3) move to the front, and the r2/r4-refreshed
-    # block above moves behind them.
-    "embedding_cosine_pairs": q_embedding_cosine_pairs,
-    "lsh_embedding_near_pairs": q_lsh_embedding_near_pairs,
-    "ann_topk_bruteforce": q_ann_topk_bruteforce,
-    "ann_topk_ivf": q_ann_topk_ivf,
-    "span_roundtrip": q_span_roundtrip,
-    "media_features": q_media_features,
-    "media_resize": q_media_resize,
-    "media_frame_sample": q_media_frame_sample,
-    "fuzzy_query_weighted_nosub": q_fuzzy_query_weighted_nosub,
-    "fuzzy_query_generalized_ops": q_fuzzy_query_generalized_ops,
-    "fuzzy_query_multichar_ops": q_fuzzy_query_multichar_ops,
-    "token_stats": q_token_stats,
-    "quality_features": q_quality_features,
-    "unigram_perplexity": q_unigram_perplexity,
-    "chunk_documents": q_chunk_documents,
-    "tfidf_keywords": q_tfidf_keywords,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "repetition_stats": q_repetition_stats,
-    "pii_redaction": q_pii_redaction,
-    "stratified_sample": q_stratified_sample,
-    "per_source_cap": q_per_source_cap,
-    "gap_sessions": q_gap_sessions,
-    "line_dedup": q_line_dedup,
-    "duplicate_spans": q_duplicate_spans,
-    "cut_spans": q_cut_spans,
-    "contamination_spans": q_contamination_spans,
-    "near_dup_clusters": q_near_dup_clusters,
-    "incremental_clusters": q_incremental_clusters,
-    "golden_records": q_golden_records,
-    "blocking_quality": q_blocking_quality,
-    "er_pair_metrics": q_er_pair_metrics,
-    "er_cluster_bcubed": q_er_cluster_bcubed,
-    "contamination_overlap": q_contamination_overlap,
-    # --- new in round 4 ------------------------------------------------
-    "fuzzy_query_d3_standard": q_fuzzy_query_d3_standard,
-    "typo_corpus_recall": q_typo_corpus_recall,
-    "ivf_sq8_topk": q_ivf_sq8_topk,
-    "link_records_learned": q_link_records_learned,
-    "media_decode_features": q_media_decode_features,
-    "media_decode_stats": q_media_decode_stats,
-    "domain_stats_psl": q_domain_stats_psl,
+    # --- ROUND-5 ROTATION (VERDICT r4 task 2, plan at r4's registry
+    # note): front window = round-5 additions, then round-5-touched
+    # entries needing a fresh driver row, then the 45 entries whose last
+    # driver row is r3 (mitton_blocked_recall onward in the r4 order) —
+    # after this window every entry's newest driver row is <= 2 rounds
+    # old.  The 50 entries the r4 driver checked green move behind. -----
+    # round-5 additions
+    "typo_corpus_recall_osa": q_typo_corpus_recall_osa,
+    # round-5-touched (update_assignments_mutual per-B invariant window)
     "linkage_incremental_mutual": q_linkage_incremental_mutual,
-    "meta_blocking_wep": q_meta_blocking_wep,
-    "meta_blocking_cnp": q_meta_blocking_cnp,
-    "link_records_decisions": q_link_records_decisions,
-    # --- changed/touched in round 4 (d2/transposition kernel rows yield
-    # their window slots to the new meta-blocking entries: that path keeps
-    # 102 golden tests + the harder r4 fuzzy_query_d3_standard row) ------
-    "ann_recall": q_ann_recall,
-    "ivf_recall_sweep": q_ivf_recall_sweep,
-    "hash_split": q_hash_split,
-    "linkage_incremental": q_linkage_incremental,
-    "link_records_weighted": q_link_records_weighted,
+    # last driver row r3 (kept in r4 relative order)
     "mitton_blocked_recall": q_mitton_blocked_recall,
     "fuzzy_query_d2_standard": q_fuzzy_query_d2_standard,
     "fuzzy_query_transposition_d1": q_fuzzy_query_transposition_d1,
-    # --- r3-driver-green, unchanged this round -------------------------
     "modality_stats": q_modality_stats,
     "stream_match_replay": q_stream_match_replay,
     "stream_dedup_replay": q_stream_dedup_replay,
@@ -3286,6 +3258,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_pairs": q_simhash_near_pairs,
+    # --- r4-driver-green block (CORRECTNESS_r04: 50/50), r4 order ------
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "lsh_embedding_near_pairs": q_lsh_embedding_near_pairs,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "span_roundtrip": q_span_roundtrip,
+    "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frame_sample": q_media_frame_sample,
+    "fuzzy_query_weighted_nosub": q_fuzzy_query_weighted_nosub,
+    "fuzzy_query_generalized_ops": q_fuzzy_query_generalized_ops,
+    "fuzzy_query_multichar_ops": q_fuzzy_query_multichar_ops,
+    "token_stats": q_token_stats,
+    "quality_features": q_quality_features,
+    "unigram_perplexity": q_unigram_perplexity,
+    "chunk_documents": q_chunk_documents,
+    "tfidf_keywords": q_tfidf_keywords,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "repetition_stats": q_repetition_stats,
+    "pii_redaction": q_pii_redaction,
+    "stratified_sample": q_stratified_sample,
+    "per_source_cap": q_per_source_cap,
+    "gap_sessions": q_gap_sessions,
+    "line_dedup": q_line_dedup,
+    "duplicate_spans": q_duplicate_spans,
+    "cut_spans": q_cut_spans,
+    "contamination_spans": q_contamination_spans,
+    "near_dup_clusters": q_near_dup_clusters,
+    "incremental_clusters": q_incremental_clusters,
+    "golden_records": q_golden_records,
+    "blocking_quality": q_blocking_quality,
+    "er_pair_metrics": q_er_pair_metrics,
+    "er_cluster_bcubed": q_er_cluster_bcubed,
+    "contamination_overlap": q_contamination_overlap,
+    # --- new in round 4 ------------------------------------------------
+    "fuzzy_query_d3_standard": q_fuzzy_query_d3_standard,
+    "typo_corpus_recall": q_typo_corpus_recall,
+    "ivf_sq8_topk": q_ivf_sq8_topk,
+    "link_records_learned": q_link_records_learned,
+    "media_decode_features": q_media_decode_features,
+    "media_decode_stats": q_media_decode_stats,
+    "domain_stats_psl": q_domain_stats_psl,
+    "meta_blocking_wep": q_meta_blocking_wep,
+    "meta_blocking_cnp": q_meta_blocking_cnp,
+    "link_records_decisions": q_link_records_decisions,
+    "ann_recall": q_ann_recall,
+    "ivf_recall_sweep": q_ivf_recall_sweep,
+    "hash_split": q_hash_split,
+    "linkage_incremental": q_linkage_incremental,
+    "link_records_weighted": q_link_records_weighted,
 }
 
 
@@ -3844,6 +3867,12 @@ def oracle_sql() -> dict[str, str]:
     out["ivf_recall_sweep"] = _IVF_SWEEP_SQL
     out["mitton_blocked_recall"] = _mitton_mini_sql()
     out["typo_corpus_recall"] = _corpus_recall_sql(_TYPO_CORPUS, 3)
+    # OSA corpus: DuckDB has no OSA — damerau_levenshtein (unrestricted) is
+    # exact here because every committed pair is generation-verified to
+    # agree (scripts/gen_typo_corpus_osa.py retries the divergent tail)
+    out["typo_corpus_recall_osa"] = _corpus_recall_sql(
+        _TYPO_CORPUS_OSA, 3, fn="damerau_levenshtein"
+    )
     out["hash_split"] = _hash_split_sql()
     out["modality_stats"] = _MODALITY_STATS_SQL
     # the stream replay's oracle IS the batch SQL: same probes, same
