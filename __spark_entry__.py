@@ -1478,13 +1478,23 @@ def q_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # endpoints old (the standing graph) and right_id >= bound ⇔ at least
     # one arriving endpoint (the delta) — an exact, disjoint split
     pairs = _planted_pairs(spark, sf_dir)
-    base = clustering.attach_singletons(
-        clustering.connected_components(
-            pairs.where(F.col("right_id") < 100000), "left_id", "right_id"
-        ),
-        old_docs.select(F.col("doc_id").alias("node")),
-        "node",
-    ).select("node", F.col("component").alias("cluster"))
+    # The standing assignment table is a MATERIALIZED artifact in a real
+    # pipeline (the entities parquet the previous run wrote); persist its
+    # in-session analog so the incremental path's consumers (endpoint
+    # lookup, relabel join, final union) read a cache instead of
+    # re-running the base CC + singleton attachment lineage per consumer
+    # (measured: ~1.4 s per re-evaluation at sf0.1, 3+ consumers).
+    from liblevenshtein_rust_spark.session import pooled_persist
+
+    base = pooled_persist(
+        clustering.attach_singletons(
+            clustering.connected_components(
+                pairs.where(F.col("right_id") < 100000), "left_id", "right_id"
+            ),
+            old_docs.select(F.col("doc_id").alias("node")),
+            "node",
+        ).select("node", F.col("component").alias("cluster"))
+    )
     delta = pairs.where(F.col("right_id") >= 100000)
     out = clustering.incremental_cluster_update(
         base,

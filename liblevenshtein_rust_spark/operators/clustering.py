@@ -93,11 +93,18 @@ def fixpoint_partitions(spark, n_edges: int) -> int:
     stage below the cluster width (measured: a 400k-edge graph on 4
     data-sized partitions ran the entities stage at identical speed on 8 and
     32 cores).  ~100k edges per partition keeps tasks meaningful; floor at
-    the cluster width so every core gets a task; capped at the session
-    shuffle parallelism so huge graphs use the full cluster."""
+    the cluster width so every core gets a task — but only once the graph
+    can FILL the width (>= ~2k edges/core): below that the floor itself is
+    the anti-scaling it exists to prevent (measured: a 2k-edge contracted
+    delta graph at 32 partitions spent 1.4 s/round on pure scheduling vs
+    ~0.3 s at data-sized partitions — the dominant cost of incremental
+    cluster maintenance, whose whole point is a delta-sized graph).
+    Capped at the session shuffle parallelism so huge graphs use the full
+    cluster."""
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     width = spark.sparkContext.defaultParallelism
-    return max(1, min(cap, max(width, n_edges // 100_000 + 1)))
+    filled_width = min(width, n_edges // 2_000 + 1)
+    return max(1, min(cap, max(filled_width, n_edges // 100_000 + 1)))
 
 
 def connected_components(
@@ -288,6 +295,8 @@ def incremental_cluster_update(
     Output: (node, cluster) for ALL nodes (updated standing rows + the new
     batch, singletons as their own cluster).
     """
+    from ..session import pooled_persist
+
     ep = (
         new_edges.select(F.col(src).alias("n"))
         .unionByName(new_edges.select(F.col(dst).alias("n")))
@@ -298,7 +307,12 @@ def incremental_cluster_update(
     )
     # endpoint -> standing label; inner join keeps old endpoints only.
     # Broadcast the DELTA side: the standing table streams through.
-    emap = a.join(F.broadcast(ep), "n").select("n", "lbl")
+    # Persist the (delta-sized) lookup: it feeds TWO broadcast exchanges
+    # below plus the relabel-key set, and without the cache each one
+    # re-streams the standing table through the endpoint join (measured
+    # ~1.5 s x4 re-evaluations at sf0.1 — the dominant cost of this
+    # operator; at 10^12 standing rows it would be four full passes).
+    emap = pooled_persist(a.join(F.broadcast(ep), "n").select("n", "lbl"))
     e = new_edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     e = (
         e.join(
