@@ -2853,14 +2853,22 @@ _PSL_PATH = str(Path(__file__).resolve().parent / "data/psl_snapshot.dat")
 def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain crawl audit keyed on the PUBLIC-SUFFIX-LIST registrable
     domain (text.domain_stats_psl; the committed `data/psl_snapshot.dat`
-    subset rides as a broadcast dimension) — the exact path the two-label
-    `domain_stats` heuristic documents as its production primary.  The
-    fixture plants every PSL rule class: ``.co.uk`` ccSLDs across two
-    host shapes (www./shop. — the heuristic would over-group ALL of them
-    under one 'co.uk' key; the PSL keeps 7 distinct registrable domains),
-    deep ``.com`` subdomains, the wildcard rule ``*.ck``, and the
-    exception rule ``!www.ck``.  The oracle replays the full PSL
-    algorithm: candidate suffixes + wildcard keys, exception-first
+    — round 5: the FULL published list, 9,506 rules / 107 wildcards / 8
+    exceptions, verbatim from the Debian `publicsuffix` package's
+    `public_suffix_list.dat` with its MPL-2.0 header — rides as a
+    broadcast dimension) — the exact path the two-label `domain_stats`
+    heuristic documents as its production primary.  The fixture plants
+    every PSL rule class: ``.co.uk`` ccSLDs across two host shapes
+    (www./shop. — the heuristic would over-group ALL of them under one
+    'co.uk' key; the PSL keeps them distinct), deep ``.com`` subdomains,
+    the wildcard rule ``*.ck`` with its exception ``!www.ck``, and
+    (round 5) the ``*.kawasaki.jp`` wildcard with its exception
+    ``!city.kawasaki.jp`` — www.city.kawasaki.jp must reduce to
+    city.kawasaki.jp (exception wins) while blog.fooN.kawasaki.jp keeps
+    all four labels (wildcard makes fooN.kawasaki.jp the suffix).  The
+    oracle replays the full PSL algorithm over ALL 9,506 rules
+    (independently re-parsed from the committed file into a VALUES
+    table): candidate suffixes + wildcard keys, exception-first
     prevailing rule, public-suffix+1 reduction, then the canonical-URL
     dedup count."""
     from liblevenshtein_rust_spark.operators import text as _text
@@ -2871,10 +2879,12 @@ def q_domain_stats_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = F.floor(F.col("doc_id") / 3).cast("bigint")
     path = F.concat(F.lit("/p/"), F.substring(F.md5(grp.cast("string")), 1, 6))
     host = (
-        F.when(grp % 5 == 0, F.concat(F.lit("www.example"), (grp % 7).cast("string"), F.lit(".co.uk")))
-        .when(grp % 5 == 1, F.concat(F.lit("shop.example"), (grp % 7).cast("string"), F.lit(".co.uk")))
-        .when(grp % 5 == 2, F.concat(F.lit("a.b.example"), (grp % 7).cast("string"), F.lit(".com")))
-        .when(grp % 5 == 3, F.concat(F.lit("foo"), (grp % 3).cast("string"), F.lit(".xyzzy.ck")))
+        F.when(grp % 7 == 0, F.concat(F.lit("www.example"), (grp % 11).cast("string"), F.lit(".co.uk")))
+        .when(grp % 7 == 1, F.concat(F.lit("shop.example"), (grp % 11).cast("string"), F.lit(".co.uk")))
+        .when(grp % 7 == 2, F.concat(F.lit("a.b.example"), (grp % 11).cast("string"), F.lit(".com")))
+        .when(grp % 7 == 3, F.concat(F.lit("foo"), (grp % 3).cast("string"), F.lit(".xyzzy.ck")))
+        .when(grp % 7 == 4, F.lit("www.city.kawasaki.jp"))
+        .when(grp % 7 == 5, F.concat(F.lit("blog.foo"), (grp % 3).cast("string"), F.lit(".kawasaki.jp")))
         .otherwise(F.lit("www.ck"))
     )
     url = (
@@ -2919,11 +2929,13 @@ def _domain_stats_psl_sql() -> str:
                    END AS url
             FROM (
                 SELECT doc_id,
-                       CASE (doc_id // 3) % 5
-                            WHEN 0 THEN 'www.example' || ((doc_id // 3) % 7)::VARCHAR || '.co.uk'
-                            WHEN 1 THEN 'shop.example' || ((doc_id // 3) % 7)::VARCHAR || '.co.uk'
-                            WHEN 2 THEN 'a.b.example' || ((doc_id // 3) % 7)::VARCHAR || '.com'
+                       CASE (doc_id // 3) % 7
+                            WHEN 0 THEN 'www.example' || ((doc_id // 3) % 11)::VARCHAR || '.co.uk'
+                            WHEN 1 THEN 'shop.example' || ((doc_id // 3) % 11)::VARCHAR || '.co.uk'
+                            WHEN 2 THEN 'a.b.example' || ((doc_id // 3) % 11)::VARCHAR || '.com'
                             WHEN 3 THEN 'foo' || ((doc_id // 3) % 3)::VARCHAR || '.xyzzy.ck'
+                            WHEN 4 THEN 'www.city.kawasaki.jp'
+                            WHEN 5 THEN 'blog.foo' || ((doc_id // 3) % 3)::VARCHAR || '.kawasaki.jp'
                             ELSE 'www.ck'
                        END AS host,
                        '/p/' || substr(md5((doc_id // 3)::VARCHAR), 1, 6) AS pth
@@ -3220,8 +3232,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # old.  The 50 entries the r4 driver checked green move behind. -----
     # round-5 additions
     "typo_corpus_recall_osa": q_typo_corpus_recall_osa,
-    # round-5-touched (update_assignments_mutual per-B invariant window)
+    # round-5-touched (update_assignments_mutual per-B invariant window;
+    # PSL snapshot grown to the full 9,506-rule published list + kawasaki
+    # exception/wildcard fixture cases)
     "linkage_incremental_mutual": q_linkage_incremental_mutual,
+    "domain_stats_psl": q_domain_stats_psl,
     # last driver row r3 (kept in r4 relative order)
     "mitton_blocked_recall": q_mitton_blocked_recall,
     "fuzzy_query_d2_standard": q_fuzzy_query_d2_standard,
@@ -3310,7 +3325,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "link_records_learned": q_link_records_learned,
     "media_decode_features": q_media_decode_features,
     "media_decode_stats": q_media_decode_stats,
-    "domain_stats_psl": q_domain_stats_psl,
     "meta_blocking_wep": q_meta_blocking_wep,
     "meta_blocking_cnp": q_meta_blocking_cnp,
     "link_records_decisions": q_link_records_decisions,

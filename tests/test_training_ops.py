@@ -804,3 +804,41 @@ def test_registrable_domain_psl_rule_classes(spark):
         T.url_domain(F.col("url")).alias("d")
     ).first()
     assert h["d"] == "co.uk"
+
+
+def test_psl_full_snapshot_kawasaki(spark):
+    """Round 5: the committed snapshot is the FULL published list (Debian
+    `publicsuffix` package copy of publicsuffix.org's file) — assert the
+    rule-census floor (9,506 rules / 107 wildcards / 8 exceptions at the
+    packaged version; floors so a refreshed snapshot can only grow) and
+    drive a second exception-rule family end-to-end: *.kawasaki.jp makes
+    any direct label a public suffix, !city.kawasaki.jp carves city back
+    out."""
+    from liblevenshtein_rust_spark.operators import text as T
+
+    psl = T.load_psl(
+        spark,
+        str(Path(__file__).resolve().parent.parent / "data/psl_snapshot.dat"),
+    )
+    rows = psl.collect()
+    assert len(rows) >= 9000
+    assert sum(r["rule"].startswith("*.") for r in rows) >= 100
+    exceptions = {r["rule"] for r in rows if r["is_exception"]}
+    assert {"www.ck", "city.kawasaki.jp"} <= exceptions
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.city.kawasaki.jp/ku/"),   # exception wins
+            (2, "https://blog.foo.kawasaki.jp/x"),     # wildcard suffix
+            (3, "https://foo.kawasaki.jp/"),           # host IS the suffix
+        ],
+        "url_id long, url string",
+    )
+    got = {
+        r["url_id"]: r["domain"]
+        for r in T.registrable_domain_psl(urls, psl).collect()
+    }
+    assert got == {
+        1: "city.kawasaki.jp",
+        2: "blog.foo.kawasaki.jp",
+        3: None,
+    }
