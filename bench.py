@@ -132,11 +132,17 @@ def _fresh_spark(cores: int, shuffle_partitions: int | None = None):
 # --------------------------------------------------------------------------
 
 
-def bench_queries(spark) -> tuple[dict, dict, dict]:
+def bench_queries(spark, on_progress=None) -> tuple[dict, dict, dict]:
     """One pass over every query (returns the live query dict too, so the
     caller can run a second pass after the other headline jobs — host
     throttle windows make single cold passes 3-5x noisy; the reported wall
-    is the per-query MIN, the cold pass stays in the detail file)."""
+    is the per-query MIN, the cold pass stays in the detail file).
+
+    ``on_progress(out, cold)`` is invoked every few queries so the caller
+    can checkpoint a partial record — a parent timeout kill mid-pass then
+    salvages most of the query walls instead of losing the whole pass
+    (round 5: a severely throttled window stretched the cold pass past
+    the worker's remaining budget)."""
     import __spark_entry__ as entry
 
     # Warm the session once: JVM codegen for the (large) deletion-key
@@ -161,13 +167,15 @@ def bench_queries(spark) -> tuple[dict, dict, dict]:
     out: dict[str, float] = {}
     cold: dict[str, float] = {}
     qs = entry.queries()
-    for name, fn in qs.items():
+    for i, (name, fn) in enumerate(qs.items()):
         t0 = time.time()
         fn(spark, SF_DIR).count()
         w = time.time() - t0
         cold[name] = round(w, 3)
         out[name] = round(w, 3)
         release_pooled()  # pooled operator caches die with the timing window
+        if on_progress is not None and i % 8 == 7:
+            on_progress(out, cold)
     return out, cold, qs
 
 
@@ -278,22 +286,44 @@ def main_worker() -> None:
     """Queries + headline ER + english dict, one subprocess.  Honors the
     deadline handed down by the parent (epoch seconds).  Order: one query
     pass, then ER + english (so they are never starved), then opportunistic
-    second query passes until the deadline."""
+    second query passes until the deadline.
+
+    Emits a CUMULATIVE JSON line after EVERY sub-phase (same contract as
+    the parent's own emit loop): if the parent's timeout kill lands
+    mid-worker, the partial stdout still carries a complete record of
+    everything that finished — the parent salvages its last line (round
+    5: this is what lets the er-mini phase spend budget ahead of this
+    worker without a kill risking the whole query record)."""
     deadline = float(os.environ.get("SPARK_GRAFT_BENCH_WORKER_DEADLINE", "1e18"))
     spark = _fresh_spark(CPUS)
-    q, q_cold, qs = bench_queries(spark)
+    out: dict = {}
+
+    def step() -> None:
+        print(json.dumps(out), flush=True)
+
+    def partial(q_part: dict, cold_part: dict) -> None:
+        merged = dict(out)
+        merged.update(queries=q_part, queries_cold=cold_part, _partial=True)
+        print(json.dumps(merged), flush=True)
+
+    # ER + english FIRST (round 5 reorder): they are cheap (~25 s) and
+    # ATOMIC — behind the ~170 s query pass they were the first casualties
+    # of a truncation, and without `er` the headline value is null.  The
+    # query pass is the salvage-friendly phase (partial emission every 8
+    # queries), so it absorbs the truncation risk instead.
     tmp = tempfile.mkdtemp(prefix="bench_er_")
     try:
-        er_res = bench_er(spark, N_DOCS, os.path.join(tmp, "run"))
+        out["er"] = bench_er(spark, N_DOCS, os.path.join(tmp, "run"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    eng = bench_english_dict(spark)
+    step()
+    out["english_dict"] = bench_english_dict(spark)
+    step()
+    q, q_cold, qs = bench_queries(spark, on_progress=partial)
+    out.update(queries=q, queries_cold=q_cold)
+    step()
     bench_queries_second_pass(spark, q, qs, deadline - 10)
-    print(
-        json.dumps(
-            {"queries": q, "queries_cold": q_cold, "er": er_res, "english_dict": eng}
-        )
-    )
+    step()
 
 
 # --------------------------------------------------------------------------
@@ -496,7 +526,11 @@ def scale_worker(cores: int) -> None:
     if not os.path.exists(os.path.join(SCALE_INPUT, "_SUCCESS")):
         _gen_scale_input(spark)
     _score_job(spark, cores, limit=SCALE_PAIRS // 10)  # warm JIT/Arrow
-    out["host_probe_pre_score_mb_s"] = _wait_clean(20 if not SCALE_ER else 120)
+    # bounded probe gate: 12 s in driver-budget mode (under a sustained
+    # throttle window the old 20 s bound burned 60 s across the three
+    # workers for nothing — the per-size-min aggregation plus the second
+    # er-mini chance are the throttle defenses the budget can afford)
+    out["host_probe_pre_score_mb_s"] = _wait_clean(12 if not SCALE_ER else 120)
     # First full pass faults every executor/worker page once — on this
     # sandbox host first-touch of fresh pages is 10-100x slower than steady
     # state and SERIALIZES host-side, so it anti-scales with cores.  The
@@ -597,12 +631,31 @@ def _run_worker(*args: str, timeout: float = 3600,
                SPARK_GRAFT_BENCH_WORKER_DEADLINE=str(
                    worker_deadline if worker_deadline is not None
                    else _DEADLINE[0] - 15))
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), *args],
-        capture_output=True, text=True, env=env,
-        timeout=max(timeout, 60), check=True,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            capture_output=True, text=True, env=env,
+            timeout=max(timeout, 60), check=True,
+        )
+        stdout = out.stdout
+    except subprocess.TimeoutExpired as exc:
+        # salvage: workers emit cumulative JSON lines per sub-phase, so a
+        # timeout kill mid-worker still leaves a complete record of what
+        # finished — parse the last complete line of the partial stdout
+        # (bytes in text mode on the TimeoutExpired path)
+        raw = exc.stdout or b""
+        stdout = raw.decode(errors="replace") if isinstance(raw, bytes) else raw
+        lines = [ln for ln in stdout.strip().splitlines() if ln.strip()]
+        for ln in reversed(lines):
+            try:
+                salvaged = json.loads(ln)
+            except ValueError:
+                continue
+            if isinstance(salvaged, dict):
+                salvaged["_truncated"] = True
+                return salvaged
+        raise
+    return json.loads(stdout.strip().splitlines()[-1])
 
 
 def build_scaling(samples: dict[int, list], errors: list) -> dict:
@@ -746,8 +799,13 @@ def _score_est(cores: int) -> float:
 
 
 # budget to reserve for the headline phase: JVM ~15 s + warm ~45 s + one
-# query pass ~160 s + ER 8k ~25 s + english ~10 s + slack
-_RESERVE_MAIN = 260.0
+# query pass ~155 s + ER 8k ~20 s — english + second passes ride any
+# surplus.  Round 5: the main worker emits cumulative lines per sub-phase
+# and the parent salvages partial stdout on a timeout kill, so a shortfall
+# here degrades the record gracefully (loses second passes, then english)
+# instead of catastrophically (losing the whole query record) — which is
+# what lets the er-mini phase spend ahead of it.
+_RESERVE_MAIN = 235.0
 
 # budget the scale workers must leave for the er-mini pair's smallest
 # worthwhile size (gen ~25 s + 2-core ~55 s + 8-core ~42 s + slack) — an
@@ -770,7 +828,10 @@ def main() -> None:
         result["metric"] = "headline_total"
         result["value"] = (
             round(sum(result["queries"].values()) + result["er"]["wall_s"], 3)
-            if result.get("queries") and result.get("er") else None
+            if result.get("queries")
+            and result.get("er")
+            and not result.get("queries_partial")
+            else None
         )
         result["unit"] = "sec"
         # smoke guard: any shrunken knob (or non-default SF dir) must not
@@ -818,8 +879,10 @@ def main() -> None:
         else:
             samples.setdefault(cores, []).append(s)
         sc = build_scaling(samples, errors)
-        if isinstance(result.get("scaling"), dict) and "er_mini" in result["scaling"]:
-            sc["er_mini"] = result["scaling"]["er_mini"]
+        if isinstance(result.get("scaling"), dict):
+            for k in ("er_mini", "er_mini_partial"):
+                if k in result["scaling"]:
+                    sc[k] = result["scaling"][k]
         result["scaling"] = sc
 
     if DO_SCALING:
@@ -890,66 +953,122 @@ def main() -> None:
     # window (2-core 120k measured pass 88-95 s, worker total ~180 s with
     # the old n/25 warm; the n/100 warm saves ~25 s at 2 cores)
     ER_MINI_SIZES = (
+        (300_000, 215.0, 110.0),
         (200_000, 165.0, 90.0),
         (120_000, 115.0, 70.0),
         (60_000, 75.0, 50.0),
+        (30_000, 60.0, 42.0),
     )
-    if DO_SCALING and not SCALE_ER and time_left() > 60:
+    # completed er-mini passes survive across attempts: the pre-main try
+    # often lands the expensive 2-core pass and then runs out of room for
+    # the 8-core one — the post-main retry completes the PAIR for ~50 s
+    # instead of re-spending the 2-core wall (samples from different host
+    # windows are already the norm: the two sizes run sequentially anyway,
+    # and both probe brackets stay in the samples)
+    er_mini_cache: dict[tuple[int, int], dict] = {}
+
+    def try_er_mini(reserve: float) -> bool:
+        """One attempt at the pair against `reserve` (the budget later
+        phases still need).  Returns True when the pair landed."""
         pick = None
+        # probe-aware sizing: under an active throttle window (first-touch
+        # bandwidth < ~300 MB/s) the measured er-mini walls run ~1.5-2x the
+        # clean estimates — run-4 lesson: a pass admitted on thin margins
+        # outran its timeout AND starved the main worker.  Inflate the
+        # estimates instead of trusting them.
+        throttle_scale = 1.6 if host_probe() < 300.0 else 1.0
         if os.environ.get("SPARK_GRAFT_BENCH_ER_MINI_DOCS"):
-            pick = (ER_MINI_DOCS, 200.0, 95.0)
+            pick = (ER_MINI_DOCS, 200.0 * throttle_scale, 95.0 * throttle_scale)
         else:
-            for size in ER_MINI_SIZES:
-                if time_left() - _RESERVE_MAIN > size[1] + size[2] + 45:
+            for raw in ER_MINI_SIZES:
+                # a size with one side already sampled only needs the
+                # missing side's budget — the retry completes the pair
+                size = (
+                    raw[0],
+                    0.0 if (raw[0], 2) in er_mini_cache
+                    else raw[1] * throttle_scale,
+                    0.0 if (raw[0], 8) in er_mini_cache
+                    else raw[2] * throttle_scale,
+                )
+                # gen margin is cache-aware: with the _SUCCESS-staged docs
+                # parquet already on disk (pre-seeded, or any earlier round
+                # of this host) the gen worker is a ~3 s no-JVM check — a
+                # flat 45 s margin skipped a fitting pair by 13 s in the
+                # first round-5 driver-shaped run
+                staged = os.path.exists(
+                    os.path.join(er_docs_path(size[0]), "_SUCCESS")
+                )
+                if time_left() - reserve > size[1] + size[2] + (
+                    8 if staged else 45
+                ):
                     pick = size
                     break
         if pick is None:
             # visible on the driver record: the phase was considered, the
             # window didn't fit even the smallest pair on top of the
-            # headline reserve
+            # reserve still owed to later phases
             notes.append(f"er-mini skipped (window {int(time_left())}s)")
             emit()
-        else:
-            docs, est2, est8 = pick
+            return False
+        docs, est2, est8 = pick
+        try:
+            _run_worker(
+                "--gen-er-docs", str(docs),
+                timeout=max(time_left() - reserve - est2 - est8, 60),
+            )
+        except Exception as exc:  # noqa: BLE001
+            notes.append(f"gen-er-docs failed: {repr(exc)[:100]}")
+        mini: dict[int, dict] = {
+            c: er_mini_cache[(docs, c)]
+            for c in (2, 8)
+            if (docs, c) in er_mini_cache
+        }
+        for cores, est, later in ((2, est2, est8), (8, est8, 0.0)):
+            if cores in mini:
+                continue
+            if time_left() - reserve < est + later:
+                notes.append(f"er-mini {cores} skipped (budget)")
+                break
             try:
-                _run_worker(
-                    "--gen-er-docs", str(docs),
-                    timeout=max(time_left() - _RESERVE_MAIN - est2 - est8, 60),
+                mini[cores] = _run_worker(
+                    "--er-mini-worker", str(cores), str(docs),
+                    timeout=max(min(est * 3, time_left() - reserve + 30), 60),
                 )
+                er_mini_cache[(docs, cores)] = mini[cores]
             except Exception as exc:  # noqa: BLE001
-                notes.append(f"gen-er-docs failed: {repr(exc)[:100]}")
-            mini: dict[int, dict] = {}
-            for cores, est, later in ((2, est2, est8), (8, est8, 0.0)):
-                if time_left() - _RESERVE_MAIN < est + later:
-                    notes.append(f"er-mini {cores} skipped (budget)")
-                    break
-                try:
-                    mini[cores] = _run_worker(
-                        "--er-mini-worker", str(cores), str(docs),
-                        timeout=max(
-                            min(est * 3, time_left() - _RESERVE_MAIN + 30), 60
-                        ),
-                    )
-                except Exception as exc:  # noqa: BLE001
-                    notes.append(f"er-mini {cores} failed: {repr(exc)[:100]}")
-                    break
-            if len(mini) == 2:
-                w2, w8 = mini[2]["wall_s"], mini[8]["wall_s"]
-                result.setdefault("scaling", {})["er_mini"] = {
-                    "n_docs": docs,
-                    "walls_s": {"2": w2, "8": w8},
-                    "efficiency_2_8": round(w2 / w8 / 4, 3),
-                    "floor": True,
-                    "samples": mini,
-                    "note": (
-                        "driver-budget reduced-corpus pair over pre-staged "
-                        "shared input; a FLOOR on the campaign number "
-                        "(fixed per-stage cost share grows as docs shrink) "
-                        "- see bench_artifacts/ for the "
-                        "1.2M-doc gate"
-                    ),
+                notes.append(f"er-mini {cores} failed: {repr(exc)[:100]}")
+                break
+        if len(mini) != 2:
+            if mini:
+                # one-sided evidence stays on the record (and in the cache
+                # for a later attempt to complete)
+                result.setdefault("scaling", {})["er_mini_partial"] = {
+                    str(c): {"n_docs": docs, "wall_s": s["wall_s"]}
+                    for c, s in mini.items()
                 }
-                emit()
+            return False
+        w2, w8 = mini[2]["wall_s"], mini[8]["wall_s"]
+        result.setdefault("scaling", {}).pop("er_mini_partial", None)
+        result["scaling"]["er_mini"] = {
+            "n_docs": docs,
+            "walls_s": {"2": w2, "8": w8},
+            "efficiency_2_8": round(w2 / w8 / 4, 3),
+            "floor": True,
+            "samples": mini,
+            "note": (
+                "driver-budget reduced-corpus pair over pre-staged "
+                "shared input; a FLOOR on the campaign number "
+                "(fixed per-stage cost share grows as docs shrink) "
+                "- see bench_artifacts/ for the "
+                "1.2M-doc gate"
+            ),
+        }
+        emit()
+        return True
+
+    er_mini_done = not (DO_SCALING and not SCALE_ER)
+    if not er_mini_done and time_left() > 60:
+        er_mini_done = try_er_mini(_RESERVE_MAIN)
 
     # headline phase — LAST of the mandatory phases: its second-pass loop
     # is the one elastic consumer, so it absorbs whatever the scaling +
@@ -965,17 +1084,39 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             notes.append(f"main-worker failed: {repr(exc)[:120]}")
         else:
-            result["queries"] = head["queries"]
+            if head.pop("_truncated", False):
+                if head.pop("_partial", False):
+                    # mid-query-pass kill: the walls on record are a
+                    # partial set — keep them, but a headline_total summed
+                    # over a partial set would READ AS faster-than-baseline
+                    result["queries_partial"] = True
+                    notes.append(
+                        "main-worker truncated mid-pass - partial query set,"
+                        " headline_total withheld"
+                    )
+                else:
+                    notes.append(
+                        "main-worker truncated (budget) - partial record"
+                    )
+            result["queries"] = head.get("queries", {})
             result["queries_cold"] = head.get("queries_cold", {})
-            result["er"] = head["er"]
+            if "er" in head:
+                result["er"] = head["er"]
             result["english_dict"] = head.get("english_dict", {})
             sw = (result.get("scaling") or {}).get("score_job", {}).get("walls_s", {})
-            if str(CPUS) in sw:
+            if str(CPUS) in sw and result.get("er"):
                 result["er"]["pairs_per_sec"] = round(SCALE_PAIRS / sw[str(CPUS)])
         emit()
     else:
         notes.append("main-worker skipped (budget)")
         emit()
+
+    # er-mini second chance: a throttled scaling phase often leaves a
+    # surplus below the pre-main gate but the main worker then underruns
+    # its reserve — retry the pair on whatever actually remains before
+    # the (optional) top-up reps get it
+    if not er_mini_done and time_left() > 100:
+        er_mini_done = try_er_mini(20.0)
 
     # top-up: extra scaling reps with whatever budget remains (per-size min
     # over more samples = more robust efficiency estimate)
@@ -1040,6 +1181,9 @@ def compact_result(result: dict) -> dict:
                 for k in ("n_docs", "walls_s", "efficiency_2_8", "floor")
                 if k in em
             }
+        emp = s.get("er_mini_partial")
+        if isinstance(emp, dict):
+            out["scaling"]["er_mini_partial"] = emp
     for k in ("metric", "value", "unit"):
         out[k] = result.get(k)
     # hard guard on the ~1900-char stdout contract: fold the FASTEST queries
