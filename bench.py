@@ -921,6 +921,24 @@ def main() -> None:
             er_allow = _ER_MINI_RESERVE if not SCALE_ER else 0.0
             for i, cores in enumerate(order):
                 later = sum(_score_est(c) for c in order[i + 1:])
+                if (
+                    cores == CPUS
+                    and len(order) > 2
+                    and not SCALE_ER
+                    and host_probe() < 300.0
+                ):
+                    # throttle-window triage: the north rule's two-size
+                    # criterion is the 2->8 pair already on record; the
+                    # CPUS-size worker is the bonus third point (its 16M
+                    # 8->32 reading is fixed-cost-bound anyway, and the
+                    # compute-dominated 64M evidence lives in the
+                    # committed campaign artifact).  Under a throttled
+                    # window its ~55 s is exactly the margin the er-mini
+                    # ER-pipeline pair is missing — yield it.
+                    notes.append(
+                        f"scale size {cores} yielded to er-mini (throttle)"
+                    )
+                    continue
                 if time_left() < _score_est(cores) + reserve:
                     notes.append(f"scale size {cores} skipped (budget)")
                     continue
@@ -952,12 +970,15 @@ def main() -> None:
     # calibrated round 5 with pre-staged input under a mildly throttled
     # window (2-core 120k measured pass 88-95 s, worker total ~180 s with
     # the old n/25 warm; the n/100 warm saves ~25 s at 2 cores)
+    # clean-window worker-TOTAL estimates (JVM ~12 s + trimmed warm +
+    # measured pass + teardown), re-calibrated against the round-5 floor
+    # curve's measured walls; the throttle probe scales them 1.5x
     ER_MINI_SIZES = (
         (300_000, 215.0, 110.0),
         (200_000, 165.0, 90.0),
         (120_000, 115.0, 70.0),
-        (60_000, 75.0, 50.0),
-        (30_000, 60.0, 42.0),
+        (60_000, 85.0, 55.0),
+        (30_000, 70.0, 50.0),
     )
     # completed er-mini passes survive across attempts: the pre-main try
     # often lands the expensive 2-core pass and then runs out of room for
@@ -976,7 +997,7 @@ def main() -> None:
         # clean estimates — run-4 lesson: a pass admitted on thin margins
         # outran its timeout AND starved the main worker.  Inflate the
         # estimates instead of trusting them.
-        throttle_scale = 1.6 if host_probe() < 300.0 else 1.0
+        throttle_scale = 1.5 if host_probe() < 300.0 else 1.0
         if os.environ.get("SPARK_GRAFT_BENCH_ER_MINI_DOCS"):
             pick = (ER_MINI_DOCS, 200.0 * throttle_scale, 95.0 * throttle_scale)
         else:
@@ -1075,11 +1096,27 @@ def main() -> None:
     # er-mini phases left (round-5 reorder; r4's trailing er-mini starved
     # at 16 s behind this worker's elastic loop).
     if time_left() > 60:
+        # if the pre-main er-mini attempt landed ONE side (the 2-core pass
+        # typically — a throttle window stretched it past its estimate and
+        # starved the other), carve the missing side's budget out of the
+        # main worker's ELASTIC deadline so the post-main retry can
+        # complete the pair from the cache: without this the second-pass
+        # loop runs to deadline-10 and the retry is dead code (observed:
+        # two runs ended with a one-sided er_mini_partial and ~5 s left)
+        retry_reserve = (
+            110.0 if (not er_mini_done and er_mini_cache) else 0.0
+        )
         try:
             head = _run_worker(
                 "--main-worker",
-                timeout=max(time_left() - 5, 60),
-                worker_deadline=time.time() + max(time_left() - 5, 120),
+                # the reserve must come out of the parent KILL timeout too,
+                # not only the worker's soft deadline — the first query
+                # pass ignores the deadline and would otherwise run to the
+                # kill, leaving the retry its usual ~5 s (run-9 lesson);
+                # a truncated pass degrades gracefully (partial salvage)
+                timeout=max(time_left() - 5 - retry_reserve, 60),
+                worker_deadline=time.time()
+                + max(time_left() - 5 - retry_reserve, 120),
             )
         except Exception as exc:  # noqa: BLE001
             notes.append(f"main-worker failed: {repr(exc)[:120]}")
